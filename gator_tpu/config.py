@@ -1,0 +1,129 @@
+"""Frozen-dataclass configuration mirroring the reference YAML schema.
+
+The reference mutates a global EasyDict with strict key checking and wipes a
+timestamped experiment dir at *import* time
+(reference: lib/core/config.py:17-116, side effect at :26-39). Here configs
+are immutable values loaded from the same YAML files; experiment dirs are
+created explicitly by the CLI, never at import.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    train_list: Tuple[str, ...] = ("Human36M", "COCO", "MuCo")
+    test_list: Tuple[str, ...] = ("PW3D",)
+    input_joint_set: str = "coco"
+    target_joint_set: str = "human36"
+    workers: int = 16
+    use_gt_input: bool = True
+    BASE_DATA_DIR: str = "data/base_data"
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "GATOR"
+    input_shape: Tuple[int, int] = (384, 288)   # (H, W)
+    normal_loss_weight: float = 1e-1
+    edge_loss_weight: float = 20.0
+    joint_loss_weight: float = 1e-3
+    posenet_pretrained: bool = False
+    posenet_path: str = ""
+    alpha: bool = False
+    # tpu-native extensions (defaults preserve reference behavior)
+    embed_dim: int = 128
+    depth: int = 6
+    num_heads: int = 8
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-native inference
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    print_freq: int = 10
+    batch_size: int = 64
+    shuffle: bool = True
+    begin_epoch: int = 1
+    end_epoch: int = 40
+    edge_loss_start: int = 15
+    scheduler: str = "step"
+    lr: float = 1e-3
+    lr_step: Tuple[int, ...] = (30,)
+    lr_factor: float = 0.1
+    optimizer: str = "adam"
+    wandb: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class AugConfig:
+    flip: bool = False
+    rotate_factor: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TestConfig:
+    batch_size: int = 64
+    shuffle: bool = False
+    weight_path: str = ""
+    vis: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    DATASET: DatasetConfig = DatasetConfig()
+    MODEL: ModelConfig = ModelConfig()
+    TRAIN: TrainConfig = TrainConfig()
+    AUG: AugConfig = AugConfig()
+    TEST: TestConfig = TestConfig()
+    seed: int = 0
+    output_dir: str = "experiment"
+
+
+_SECTIONS = ("DATASET", "MODEL", "TRAIN", "AUG", "TEST")
+
+
+def _replace_section(section, overrides: dict):
+    valid = {f.name for f in dataclasses.fields(section)}
+    clean = {}
+    for key, val in overrides.items():
+        if key not in valid:
+            raise ValueError(
+                f"{type(section).__name__}.{key} not a valid config key")
+        if isinstance(val, list):
+            val = tuple(val)
+        clean[key] = val
+    return dataclasses.replace(section, **clean)
+
+
+def load_config(yaml_path: Optional[str] = None,
+                overrides: Optional[dict] = None) -> Config:
+    """Load a reference-schema YAML into an immutable Config.
+
+    Unknown keys raise, mirroring the reference's strict update
+    (reference: lib/core/config.py:94-116).
+    """
+    cfg = Config()
+    raw = {}
+    if yaml_path:
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+    if overrides:
+        for k, v in overrides.items():
+            raw.setdefault(k, {})
+            if isinstance(v, dict):
+                raw[k] = {**raw[k], **v} if isinstance(raw[k], dict) else v
+            else:
+                raw[k] = v
+    updates = {}
+    for key, val in raw.items():
+        if key in _SECTIONS and isinstance(val, dict):
+            updates[key] = _replace_section(getattr(cfg, key), val)
+        elif hasattr(cfg, key):
+            updates[key] = val
+        else:
+            raise ValueError(f"{key} not a valid config section/key")
+    return dataclasses.replace(cfg, **updates)
