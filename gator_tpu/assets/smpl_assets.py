@@ -45,6 +45,10 @@ class SmplModel:
     weights: np.ndarray       # [V, 24] LBS skinning weights
     faces: np.ndarray         # [F, 3] int32
     kintree_parents: tuple = KINTREE_PARENTS
+    # model mean shape; substituted when a sample's betas are zeroed
+    # (reference: smpl_layer.py:40-41,87-95)
+    mean_betas: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(SHAPE_DIM, np.float32))
 
     @property
     def vertex_num(self) -> int:
@@ -114,6 +118,8 @@ def load_smpl_pkl(path: str) -> SmplModel:
         weights=np.asarray(data["weights"], np.float32),
         faces=np.asarray(data["f"], np.int32),
         kintree_parents=parents,
+        mean_betas=np.asarray(
+            data.get("betas", np.zeros(SHAPE_DIM)), np.float32).reshape(-1),
     )
 
 

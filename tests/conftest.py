@@ -2,11 +2,17 @@
 paths are exercised without TPU hardware (SURVEY.md §4 implication (4))."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# this machine's sitecustomize pins JAX_PLATFORMS=axon (TPU tunnel); the
+# config update wins over the env var and guarantees the CPU backend
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
