@@ -1,0 +1,7 @@
+from .mesh import (DATA_AXIS, batch_sharding, make_mesh, pad_to_multiple,
+                   replicate, replicated, shard_batch)
+
+__all__ = [
+    "DATA_AXIS", "batch_sharding", "make_mesh", "pad_to_multiple",
+    "replicate", "replicated", "shard_batch",
+]

@@ -1,0 +1,67 @@
+"""Device-mesh / sharding helpers.
+
+The reference is single-GPU (SURVEY.md §2.6: `--gpu` only sets
+CUDA_VISIBLE_DEVICES, no DataParallel/DDP anywhere); on TPU the one
+multi-chip axis that matters for this workload is **data parallelism over
+ICI**: the batch is sharded across the mesh, parameters/optimizer state are
+replicated, and XLA's GSPMD partitioner inserts the gradient all-reduces.
+Everything routes through `jax.sharding.NamedSharding` so the same jitted
+step runs on 1 chip, a v5e pod slice, or a virtual CPU mesh in tests.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "dp"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Leading (batch) dim sharded over the dp axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place every array in a (possibly nested) batch with its leading dim
+    sharded across the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
+    """Pad leading dims up to a device-count multiple (repeating the last
+    element) so a ragged final eval batch still shards evenly.
+    Returns (padded_batch, original_size)."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    n = leaves[0].shape[0]
+    pad = (-n) % multiple
+
+    def _pad(x):
+        if pad == 0:
+            return x
+        reps = np.repeat(x[-1:], pad, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    if pad == 0:
+        return batch, n
+    return jax.tree_util.tree_map(_pad, batch), n

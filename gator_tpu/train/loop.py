@@ -1,0 +1,184 @@
+"""Jitted train/eval steps for both training stages.
+
+Stage 1 (GAT pretrain) and stage 2 (full GATOR) mirror the reference's
+LiftTrainer / Trainer loops (reference: lib/core/base.py:122-183, 279-315)
+but as pure functions: one XLA program per step, batch sharded over the dp
+mesh axis, gradient all-reduce inserted by GSPMD, dropout driven by explicit
+PRNG keys folded with the step counter.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import losses, metrics
+from ..models import GAT, GATOR, GatSpec, GatorSpec
+from ..parallel import mesh as pmesh
+from .state import TrainState
+
+
+def make_gator_train_step(
+    spec: GatorSpec,
+    faces: np.ndarray,
+    j_regressor_target: np.ndarray,       # [17, V0] target joint set
+    weights: losses.LossWeights,
+    tx: optax.GradientTransformation,
+    dtype=jnp.float32,
+) -> Callable:
+    """Stage-2 step. batch dict keys: pose2d [B,J,2], mesh [B,V,3] (m),
+    lift_pose3d [B,J,3] (mm), reg_pose3d [B,17,3] (mm), mesh_valid [B,V,1],
+    lift_valid [B,J,1], reg_valid [B,17,1].
+    """
+    model = GATOR(spec=spec, dtype=dtype)
+    has_bn = not spec.mdr.alpha
+    j_reg = jnp.asarray(j_regressor_target)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array, edge_enabled: jnp.ndarray):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                (mesh, lift_pose), upd = model.apply(
+                    variables, batch["pose2d"], deterministic=False,
+                    use_running_average=False,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+                new_bs = upd["batch_stats"]
+            else:
+                mesh, lift_pose = model.apply(
+                    variables, batch["pose2d"], deterministic=False,
+                    rngs={"dropout": dropout_rng})
+                new_bs = state.batch_stats
+            # mesh->target-joint regression in mm (reference: base.py:136)
+            pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh * 1000.0)
+            out = losses.gator_loss(
+                mesh, pred_pose, lift_pose,
+                batch["mesh"], batch["reg_pose3d"], batch["lift_pose3d"],
+                batch["mesh_valid"], batch["reg_valid"],
+                batch["lift_valid"],
+                faces, weights, edge_enabled)
+            return out.total, (out, new_bs)
+
+        grads, (out, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(tx, grads, new_bs)
+        metrics_out = {
+            "loss": out.total, "vertex": out.vertex, "normal": out.normal,
+            "edge": out.edge, "reg_joint": out.reg_joint,
+            "lift_joint": out.lift_joint,
+        }
+        return state, metrics_out
+
+    return step
+
+
+def make_gator_eval_step(
+    spec: GatorSpec,
+    j_regressor_target: np.ndarray,
+    eval_joints,
+    dtype=jnp.float32,
+) -> Callable:
+    """Per-batch eval: returns summed joint/surface errors + per-sample
+    predictions, matching compute_both_err semantics
+    (reference: Human36M/dataset.py:466-478, driven at base.py:214-230)."""
+    model = GATOR(spec=spec, dtype=dtype)
+    j_reg = jnp.asarray(j_regressor_target)
+    eval_idx = tuple(eval_joints) if eval_joints is not None else None
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        mesh, lift_pose = model.apply(
+            state.model_variables(), batch["pose2d"], deterministic=True)
+        mesh_mm = mesh * 1000.0
+        gt_mesh_mm = batch["mesh"] * 1000.0
+        pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh_mm)
+        gt_pose = batch["reg_pose3d"]
+        # root-align mesh by joint roots, joints by their own roots
+        s_err = metrics.mpvpe(mesh_mm, gt_mesh_mm,
+                              pred_pose[:, :1], gt_pose[:, :1])
+        j_err = metrics.mpjpe(pred_pose, gt_pose, eval_joints=eval_idx)
+        return {"joint_err": j_err, "surface_err": s_err,
+                "pred_mesh_mm": mesh_mm, "pred_pose_mm": pred_pose}
+
+    return step
+
+
+def make_gat_train_step(
+    spec: GatSpec,
+    tx: optax.GradientTransformation,
+    dtype=jnp.float32,
+) -> Callable:
+    """Stage-1 (lifter pretrain) step: CoordLoss on the lifted joints
+    (reference: lib/core/base.py:279-315). batch keys: pose2d [B,J,2],
+    joint_cam [B,J,3], joint_valid [B,J,1]."""
+    model = GAT(spec=spec, dtype=dtype)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            pose3d, _ = model.apply(
+                {"params": params},
+                batch["pose2d"].reshape(batch["pose2d"].shape[0], -1),
+                deterministic=False, rngs={"dropout": dropout_rng})
+            pose3d = pose3d.reshape(-1, spec.num_joint, 3)
+            return losses.coord_l1_loss(
+                pose3d, batch["joint_cam"], batch["joint_valid"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(tx, grads)
+        return state, {"loss": loss}
+
+    return step
+
+
+def make_gat_eval_step(spec: GatSpec, eval_joints,
+                       dtype=jnp.float32) -> Callable:
+    model = GAT(spec=spec, dtype=dtype)
+    eval_idx = tuple(eval_joints) if eval_joints is not None else None
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        pose3d, _ = model.apply(
+            state.model_variables(),
+            batch["pose2d"].reshape(batch["pose2d"].shape[0], -1),
+            deterministic=True)
+        pose3d = pose3d.reshape(-1, spec.num_joint, 3)
+        err = metrics.mpjpe(pose3d, batch["joint_cam"],
+                            eval_joints=eval_idx)
+        return {"joint_err": err, "pred_pose_mm": pose3d}
+
+    return step
+
+
+def jit_data_parallel(step_fn: Callable, mesh,
+                      donate_state: bool = True,
+                      n_array_args: int = 1) -> Callable:
+    """jit a step over a dp mesh: state (arg 0) replicated, the next
+    n_array_args args batch-sharded, everything after replicated."""
+    rep = pmesh.replicated(mesh)
+    bsh = pmesh.batch_sharding(mesh)
+
+    def specs_for(args):
+        out = [rep]
+        out += [bsh] * n_array_args
+        out += [rep] * (len(args) - 1 - n_array_args)
+        return tuple(out)
+
+    @functools.wraps(step_fn)
+    def wrapped(*args):
+        return _get_jitted(len(args))(*args)
+
+    @functools.lru_cache(maxsize=4)
+    def _get_jitted(n_args):
+        in_sh = specs_for(range(n_args))
+        return jax.jit(
+            step_fn, in_shardings=in_sh,
+            donate_argnums=(0,) if donate_state else ())
+
+    return wrapped
