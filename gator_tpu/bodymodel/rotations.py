@@ -39,6 +39,26 @@ def axis_angle_to_rotmat(axisang: jnp.ndarray) -> jnp.ndarray:
     return quat_to_rotmat(quat)
 
 
+def rotmat_to_axis_angle(rot: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] rotation matrices -> [..., 3] axis-angle vectors.
+
+    Via quaternion extraction (Shepperd's method restricted to the
+    trace-positive branch with clamping — adequate for camera/root poses,
+    which stay away from the angle-pi singularity). Used to re-encode the
+    camera-rotated SMPL root pose (the reference does this per sample with
+    transforms3d on the host — Human36M/dataset.py:268-274)."""
+    t = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
+    w = 0.5 * jnp.sqrt(jnp.maximum(1.0 + t, 1e-12))
+    x = (rot[..., 2, 1] - rot[..., 1, 2]) / (4 * w)
+    y = (rot[..., 0, 2] - rot[..., 2, 0]) / (4 * w)
+    z = (rot[..., 1, 0] - rot[..., 0, 1]) / (4 * w)
+    xyz = jnp.stack([x, y, z], axis=-1)
+    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    angle = 2.0 * jnp.arctan2(norm[..., 0], w)
+    axis = xyz / jnp.maximum(norm, 1e-12)
+    return axis * angle[..., None]
+
+
 def rotmat_flat_minus_id(rotmats: jnp.ndarray) -> jnp.ndarray:
     """[..., J, 3, 3] -> [..., J*9] flattened with identity subtracted
     (the SMPL pose-blendshape feature; reference: tensutils.py:41-48)."""

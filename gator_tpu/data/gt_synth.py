@@ -1,0 +1,130 @@
+"""On-device ground-truth synthesis (the reference's biggest data-side
+bottleneck restructured).
+
+The reference runs the SMPL layer once per sample on CPU inside DataLoader
+workers (reference: Human36M/dataset.py:254-300 `get_smpl_coord`, called
+from `__getitem__:345`; see SURVEY.md §3 hot loops). Here GT meshes/joints
+for a whole batch are synthesized by ONE jitted program on the TPU:
+camera-rotation compensation of the root pose, gendered SMPL forward,
+translation compensation, joint regression, and COCO pelvis/neck synthesis
+are all batched einsums.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets.bundle import GatorAssets
+from ..bodymodel.rotations import axis_angle_to_rotmat, rotmat_to_axis_angle
+from ..bodymodel.smpl import SmplParams, smpl_forward
+
+
+def rotate_root_pose(pose: jnp.ndarray, cam_r: jnp.ndarray) -> jnp.ndarray:
+    """Rotate the global (root) axis-angle by the camera rotation:
+    aa_root' = log(R_cam @ exp(aa_root))
+    (reference: Human36M/dataset.py:268-274, done per sample with
+    transforms3d)."""
+    root = pose[:, :3]
+    rot = axis_angle_to_rotmat(root)
+    new_root = rotmat_to_axis_angle(jnp.einsum("bij,bjk->bik", cam_r, rot))
+    return jnp.concatenate([new_root, pose[:, 3:]], axis=1)
+
+
+def _clean_shape(shape: jnp.ndarray) -> jnp.ndarray:
+    """Zero out beta rows with any |b| > 3 (fit failures)
+    (reference: Human36M/dataset.py:265)."""
+    bad = (jnp.abs(shape) > 3).any(axis=1, keepdims=True)
+    return jnp.where(bad, 0.0, shape)
+
+
+class GtSynthesizer:
+    """Batched GT mesh/joint synthesis bound to one asset bundle."""
+
+    def __init__(self, assets: GatorAssets, dtype=jnp.float32):
+        self.assets = assets
+        self.params = {
+            g: SmplParams.from_model(m, dtype)
+            for g, m in assets.smpl_gendered.items()}
+        self.j_reg_h36m = jnp.asarray(assets.j_regressor_h36m)
+        self.j_reg_coco = jnp.asarray(assets.j_regressor_coco)
+        self._lhip, self._rhip = 11, 12     # coco joint indices
+        self._lsho, self._rsho = 5, 6
+
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def smpl_mesh_cam(self, pose, shape, trans, cam_r, cam_t,
+                      gender: str = "neutral"):
+        """Batched get_smpl_coord: returns (mesh_mm [B,V,3],
+        smpl_joints_mm [B,24,3]) in camera space, millimeters
+        (reference: Human36M/dataset.py:254-300)."""
+        pose = rotate_root_pose(pose, cam_r)
+        shape = _clean_shape(shape)
+        # zeroed betas mean 'use model mean betas' (smpl_layer.py:87-95);
+        # synthetic/neutral models carry zero mean betas so this is exact
+        mean_b = jnp.asarray(self.assets.smpl_gendered[gender].mean_betas)
+        zero = jnp.all(shape == 0, axis=1, keepdims=True)
+        shape = jnp.where(zero, mean_b[None], shape)
+
+        verts, joints = smpl_forward(self.params[gender], pose, shape)
+
+        # translation compensation: the root rotation was about the origin,
+        # not the root joint (reference: dataset.py:287-295)
+        smpl_trans = (jnp.einsum("bij,bj->bi", cam_r, trans)
+                      + cam_t / 1000.0)
+        root = joints[:, :1]                                 # [B,1,3]
+        smpl_trans = (smpl_trans[:, None]
+                      - root + jnp.einsum("bij,bkj->bki", cam_r, root))
+        verts = (verts + smpl_trans) * 1000.0
+        joints = (joints + smpl_trans) * 1000.0
+        return verts, joints
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def coco_from_mesh(self, mesh_mm, focal, princpt):
+        """COCO joints regressed from the mesh + pelvis/neck, camera and
+        pixel coordinates (reference: Human36M/dataset.py:311-334)."""
+        cam = jnp.einsum("jv,bvc->bjc", self.j_reg_coco, mesh_mm)
+        pelvis = 0.5 * (cam[:, self._lhip] + cam[:, self._rhip])
+        neck = 0.5 * (cam[:, self._lsho] + cam[:, self._rsho])
+        cam = jnp.concatenate([cam, pelvis[:, None], neck[:, None]], axis=1)
+        xy = (cam[..., :2] / cam[..., 2:3] * focal[:, None]
+              + princpt[:, None])
+        img = jnp.concatenate([xy, jnp.ones_like(cam[..., :1])], axis=-1)
+        return cam, img
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def h36m_from_mesh(self, mesh_mm):
+        return jnp.einsum("jv,bvc->bjc", self.j_reg_h36m, mesh_mm)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def fitting_error(self, joint_cam_h36m, mesh_mm):
+        """Translation-aligned joint error of the fitted mesh vs dataset GT
+        (reference: Human36M/dataset.py:302-309); root-relative gt in,
+        error in mm out [B]."""
+        gt = joint_cam_h36m - joint_cam_h36m[:, :1]
+        reg = self.h36m_from_mesh(mesh_mm)
+        reg = reg - reg.mean(axis=1, keepdims=True) \
+            + gt.mean(axis=1, keepdims=True)
+        return jnp.sqrt(((gt - reg) ** 2).sum(-1)).mean(-1)
+
+    def synthesize(self, pose: np.ndarray, shape: np.ndarray,
+                   trans: np.ndarray, cam_r: np.ndarray, cam_t: np.ndarray,
+                   focal: np.ndarray, princpt: np.ndarray,
+                   joint_cam_h36m: Optional[np.ndarray] = None,
+                   gender: str = "neutral") -> Dict[str, np.ndarray]:
+        """Full GT bundle for a batch (host numpy in/out)."""
+        mesh_mm, smpl_joints_mm = self.smpl_mesh_cam(
+            pose, shape, trans, cam_r, cam_t, gender)
+        coco_cam, coco_img = self.coco_from_mesh(mesh_mm, focal, princpt)
+        out = {
+            "mesh_mm": np.asarray(mesh_mm),
+            "smpl_joints_mm": np.asarray(smpl_joints_mm),
+            "joint_cam_coco": np.asarray(coco_cam),
+            "joint_img_coco": np.asarray(coco_img),
+        }
+        if joint_cam_h36m is not None:
+            out["fitting_error"] = np.asarray(
+                self.fitting_error(joint_cam_h36m, mesh_mm))
+        return out

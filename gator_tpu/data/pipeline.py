@@ -1,0 +1,117 @@
+"""Batch pipeline: shuffling, mixed-dataset sampling, and batch iteration.
+
+Replaces the reference's DataLoader(16 workers) + MultipleDatasets wrapper
+(reference: lib/core/base.py:20-43, data/multiple_datasets.py). Host work
+per batch is a few cheap numpy transforms; the heavy GT synthesis runs on
+device in one jitted program per batch (gt_synth), so no worker-process
+pool is needed for parity throughput.
+"""
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .base import SmplPoseDataset, mixed_epoch_indices
+from .gt_synth import GtSynthesizer
+
+
+class BatchPipeline:
+    """Iterates dict batches over one or more datasets.
+
+    Multiple datasets reproduce the reference's mixing: epoch length =
+    max_len * n_dbs samples, each drawn from a uniformly random dataset;
+    batch size is shared across the mix (reference: base.py:22,40-43).
+    """
+
+    def __init__(self, datasets: Sequence[SmplPoseDataset],
+                 synthesizer: GtSynthesizer, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 stage: str = "gator", drop_last: bool = True,
+                 prefetch: int = 2):
+        self.datasets = list(datasets)
+        self.synth = synthesizer
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.stage = stage
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def __len__(self):
+        if len(self.datasets) == 1:
+            n = len(self.datasets[0])
+        else:
+            n = max(len(d) for d in self.datasets) * len(self.datasets)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _plan(self, rng) -> List[np.ndarray]:
+        """List of [B, 2] (dataset_id, index) arrays, one per batch."""
+        if len(self.datasets) == 1:
+            n = len(self.datasets[0])
+            order = rng.permutation(n) if self.shuffle else np.arange(n)
+            pairs = np.stack([np.zeros(n, np.int64), order], axis=1)
+        else:
+            pairs = mixed_epoch_indices(
+                [len(d) for d in self.datasets], rng)
+            if self.shuffle:
+                pairs = pairs[rng.permutation(len(pairs))]
+        nb = len(self)
+        return [pairs[i * self.batch_size:(i + 1) * self.batch_size]
+                for i in range(nb)]
+
+    def _make(self, pairs: np.ndarray, rng) -> Dict[str, np.ndarray]:
+        parts = []
+        order = np.empty(len(pairs), np.int64)
+        pos = 0
+        for d_id in range(len(self.datasets)):
+            sel = np.nonzero(pairs[:, 0] == d_id)[0]
+            if len(sel) == 0:
+                continue
+            part = self.datasets[d_id].make_batch(
+                pairs[sel, 1], self.synth, rng, stage=self.stage)
+            parts.append(part)
+            order[sel] = np.arange(pos, pos + len(sel))
+            pos += len(sel)
+        merged = {k: np.concatenate([p[k] for p in parts])
+                  for k in parts[0]}
+        # restore the interleaved order so mixing isn't blocky
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        return {k: v[order] for k, v in merged.items()}
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, self._epoch))
+        plan = self._plan(rng)
+        if self.prefetch <= 0:
+            for pairs in plan:
+                yield self._make(pairs, rng)
+            return
+
+        # background-thread prefetch: overlaps host assembly of batch k+1
+        # with device compute on batch k
+        q: Queue = Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for pairs in plan:
+                    q.put(self._make(pairs, rng))
+            finally:
+                q.put(stop)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        th.join()

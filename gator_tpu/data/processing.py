@@ -1,0 +1,128 @@
+"""Per-sample host-side example assembly (the cheap part of the reference's
+`__getitem__`, after GT synthesis moved on device — see gt_synth).
+
+Mirrors the GATOR/GAT branches of reference: data/Human36M/dataset.py:339-419
+(the other datasets share the same shape).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..assets.skeletons import JointSet
+from . import augment, coords, noise
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcessOptions:
+    input_shape: Tuple[int, int] = (384, 288)    # (H, W)
+    use_gt_input: bool = True
+    fitting_thr: float = 25.0                    # mm; dataset-specific
+    flip_enabled: bool = False
+    rotate_factor: float = 0.0
+    is_train: bool = True
+    input_joint_name: str = "human36"
+
+    @property
+    def res_wh(self) -> Tuple[int, int]:
+        return (self.input_shape[1], self.input_shape[0])
+
+
+def crop_and_normalize_input(
+    joint_img: np.ndarray,                 # [J, 2or3] pixel coords
+    joint_set: JointSet,
+    opts: ProcessOptions,
+    rng: np.random.Generator,
+    flip: int, rot: float,
+    detected_pose: Optional[np.ndarray] = None,
+    h36m_noise_stats: Optional[np.ndarray] = None,
+    coco_noise_area: Optional[float] = None,
+) -> np.ndarray:
+    """Tight-bbox crop -> affine to input res -> optional detected/noisy
+    replacement -> flip -> [0,1] + per-sample standardization
+    (reference: Human36M/dataset.py:364-389,421-453)."""
+    tight = coords.get_bbox(joint_img)
+    aspect = opts.input_shape[1] / opts.input_shape[0]
+    bbox = coords.process_bbox(tight, aspect)
+    if bbox is None:
+        bbox = np.array([0, 0, 1, 1], np.float32)
+    proc, trans = augment.j2d_processing(
+        joint_img.copy(), opts.res_wh, bbox, rot, 0, None)
+
+    if not opts.use_gt_input:
+        if detected_pose is not None:
+            # test path: detector output mapped through the same crop
+            det = detected_pose.copy().astype(np.float32)
+            det[:, :2] = augment.affine_transform_batch(det[:, :2], trans)
+            proc = det
+        elif opts.input_joint_name == "human36" \
+                and h36m_noise_stats is not None:
+            err = noise.generate_h36m_syn_error(h36m_noise_stats, rng)
+            err = err / 256.0 * np.array(
+                [opts.input_shape[1], opts.input_shape[0]], np.float32)
+            proc = proc[:, :2] + err
+        elif opts.input_joint_name == "coco" \
+                and coco_noise_area is not None:
+            # synthesize detector noise on the first 17 coco keypoints in
+            # crop space (reference: Human36M/dataset.py:424-432)
+            kps = np.concatenate(
+                [proc[:17, :2], np.ones((17, 1), np.float32)], axis=1)
+            proc = proc.copy()
+            proc[:17, :2] = noise.synthesize_pose(
+                kps, coco_noise_area, rng)[:, :2]
+
+    if flip:
+        proc = augment.flip_2d_joint(
+            proc[:, :2], opts.res_wh[0], joint_set.flip_pairs)
+    return augment.normalize_input_pose(proc[:, :2], opts.input_shape)
+
+
+def crop_area(joint_img: np.ndarray, opts: ProcessOptions) -> float:
+    """Area of the (aspect-snapped) person bbox after the crop transform —
+    the OKS area driving detector-noise radii
+    (reference: Human36M/dataset.py:425-430)."""
+    tight = coords.get_bbox(joint_img)
+    aspect = opts.input_shape[1] / opts.input_shape[0]
+    bbox = coords.process_bbox(tight, aspect)
+    if bbox is None:
+        return 1.0
+    _, trans = augment.j2d_processing(
+        joint_img[:1].copy(), opts.res_wh, bbox, 0, 0, None)
+    x0, y0, w, h = bbox
+    p1 = augment.affine_transform(np.array([x0, y0]), trans)
+    p2 = augment.affine_transform(np.array([x0 + w, y0]), trans)
+    p3 = augment.affine_transform(np.array([x0 + w, y0 + h]), trans)
+    return float(np.linalg.norm(p2 - p1) * np.linalg.norm(p3 - p2))
+
+
+def gator_targets(
+    mesh_cam_mm: np.ndarray,               # [V, 3] root-relative, mm
+    joint_cam_lift: np.ndarray,            # [J, 3] root-relative, mm
+    joint_cam_h36m: np.ndarray,            # [17, 3] root-relative, mm
+    fitting_error: float,
+    opts: ProcessOptions,
+    flip: int, rot: float,
+    joint_set: JointSet,
+) -> Dict[str, np.ndarray]:
+    """Targets + validity masks for one stage-2 sample
+    (reference: Human36M/dataset.py:391-407)."""
+    joint_cam_lift = augment.j3d_processing(
+        joint_cam_lift, rot, flip, joint_set.flip_pairs)
+    v = mesh_cam_mm.shape[0]
+    mesh_valid = np.ones((v, 1), np.float32)
+    reg_valid = np.ones((17, 1), np.float32)
+    lift_valid = np.ones((len(joint_cam_lift), 1), np.float32)
+    if fitting_error > opts.fitting_thr:
+        mesh_valid[:] = 0
+        if opts.input_joint_name == "coco":
+            lift_valid[:] = 0
+    return {
+        "mesh": (mesh_cam_mm / 1000.0).astype(np.float32),
+        "lift_pose3d": joint_cam_lift.astype(np.float32),
+        "reg_pose3d": joint_cam_h36m.astype(np.float32),
+        "mesh_valid": mesh_valid,
+        "reg_valid": reg_valid,
+        "lift_valid": lift_valid,
+    }

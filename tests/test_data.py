@@ -1,0 +1,194 @@
+"""Data-layer tests: coords/augment parity vs independent constructions,
+noise statistics, GT synthesis consistency, pipeline batching/mixing."""
+import numpy as np
+import pytest
+
+from gator_tpu.data import (BatchPipeline, GtSynthesizer, ProcessOptions,
+                            SyntheticDataset, augment, coords,
+                            mixed_epoch_indices, noise)
+
+
+def test_process_bbox_aspect_snap():
+    aspect = 288 / 384
+    out = coords.process_bbox(np.array([10, 20, 50, 100]), aspect)
+    # aspect preserved, centered on original box
+    assert out[2] / out[3] == pytest.approx(aspect)
+    np.testing.assert_allclose(out[0] + out[2] / 2, 10 + (50 - 1) / 2,
+                               atol=1e-4)
+    assert coords.process_bbox(np.array([0, 0, 0, 10]), aspect) is None
+
+
+def test_cam_projections_roundtrip(rng):
+    cam = rng.uniform(1, 5, size=(10, 3)).astype(np.float32) * 1000
+    f, c = (1500.0, 1480.0), (500.0, 510.0)
+    img = coords.cam2pixel(cam, f, c)
+    back = coords.pixel2cam(img, np.array(c), np.array(f))
+    np.testing.assert_allclose(back, cam, rtol=1e-5)
+
+
+def test_world2cam():
+    r = np.eye(3)
+    t = np.array([1.0, 2, 3])
+    out = coords.world2cam(np.zeros((2, 3)), r, t)
+    np.testing.assert_allclose(out, np.tile(t, (2, 1)))
+
+
+def test_affine_transform_maps_center_and_scale():
+    center, scale = np.array([100.0, 80.0]), np.array([200.0, 260.0])
+    trans = augment.get_affine_transform(center, scale, 0, (288, 384))
+    got = augment.affine_transform(center, trans)
+    np.testing.assert_allclose(got, [144, 192], atol=1e-4)
+    # point at crop's left edge maps to x=0
+    edge = augment.affine_transform(center - [100, 0], trans)
+    np.testing.assert_allclose(edge[0], 0, atol=1e-4)
+    # inverse round-trips
+    inv = augment.get_affine_transform(center, scale, 0, (288, 384),
+                                       inv=True)
+    back = augment.affine_transform(got, inv)
+    np.testing.assert_allclose(back, center, atol=1e-3)
+
+
+def test_affine_rotation_is_about_center():
+    center, scale = np.array([50.0, 50.0]), np.array([100.0, 100.0])
+    trans = augment.get_affine_transform(center, scale, 90, (100, 100))
+    got = augment.affine_transform(center, trans)
+    np.testing.assert_allclose(got, [50, 50], atol=1e-4)
+    # a point directly above center maps to the side after 90deg rotation
+    p = augment.affine_transform(center + [0, -25], trans)
+    assert abs(p[1] - 50) < 1e-3 and abs(p[0] - 50) > 20
+
+
+def test_flip_joints():
+    kp = np.array([[10.0, 5], [20, 6], [30, 7]])
+    out = augment.flip_2d_joint(kp, 100, ((1, 2),))
+    np.testing.assert_allclose(out[0], [89, 5])     # width - x - 1
+    np.testing.assert_allclose(out[1], [69, 7])     # swapped pair
+    out3 = augment.flip_3d_joint(np.array([[1.0, 2, 3], [4, 5, 6]]), ())
+    np.testing.assert_allclose(out3[:, 0], [-1, -4])
+
+
+def test_j3d_processing_rotation():
+    s = np.array([[100.0, 0, 0]])
+    out = augment.j3d_processing(s, 90, 0, ())
+    np.testing.assert_allclose(out, [[0, -100, 0]], atol=1e-3)
+
+
+def test_normalize_input_pose_stats():
+    joints = np.random.default_rng(0).uniform(
+        0, 300, size=(17, 2)).astype(np.float32)
+    out = augment.normalize_input_pose(joints, (384, 288))
+    np.testing.assert_allclose(out.mean(0), 0, atol=1e-5)
+    np.testing.assert_allclose(out.std(0), 1, atol=1e-4)
+
+
+def test_h36m_syn_error_distribution():
+    names = ("Pelvis", "R_Hip", "R_Knee", "R_Ankle", "L_Hip", "L_Knee",
+             "L_Ankle", "Torso", "Neck", "Nose", "Head", "L_Shoulder",
+             "L_Elbow", "L_Wrist", "R_Shoulder", "R_Elbow", "R_Wrist")
+    stats = noise.h36m_error_stats(names)
+    assert stats.shape == (17, 5)
+    # Nose row reordered correctly (table order differs from joint order)
+    np.testing.assert_allclose(stats[9, :2], [0.13, -0.26])
+    rng = np.random.default_rng(0)
+    errs = np.stack([noise.generate_h36m_syn_error(stats, rng)
+                     for _ in range(3000)])
+    # pelvis weight 1.0 -> mean ~ (-0.06, -2.37)
+    np.testing.assert_allclose(errs[:, 0].mean(0), [-0.06, -2.37], atol=0.2)
+    # wrist weight .90 -> ~10% exact zeros
+    frac_zero = (errs[:, 16] == 0).all(-1).mean()
+    assert 0.05 < frac_zero < 0.15
+
+
+def test_synthesize_pose_behaviors():
+    rng = np.random.default_rng(0)
+    joints = np.concatenate(
+        [np.random.default_rng(1).uniform(50, 250, (17, 2)),
+         np.ones((17, 1))], axis=1).astype(np.float32)
+    area = 150.0 * 200.0
+    outs = [noise.synthesize_pose(joints, area, np.random.default_rng(s))
+            for s in range(20)]
+    outs = np.stack(outs)
+    # all joints stay valid (good/jitter/miss/inv all set validity 1)
+    assert (outs[..., 2] == 1).all()
+    # stochastic: different seeds differ
+    assert not np.allclose(outs[0], outs[1])
+    # most predictions stay near GT (good+jitter dominate)
+    d = np.linalg.norm(outs[..., :2] - joints[None, :, :2], axis=-1)
+    assert np.median(d) < 60
+
+
+def test_mixed_epoch_indices_semantics():
+    rng = np.random.default_rng(0)
+    pairs = mixed_epoch_indices([100, 10, 50], rng)
+    assert len(pairs) == 300  # max_len * n_dbs
+    for d, n in ((0, 100), (1, 10), (2, 50)):
+        sel = pairs[pairs[:, 0] == d]
+        assert len(sel) > 0
+        assert sel[:, 1].max() < n
+    # roughly uniform over datasets
+    counts = np.bincount(pairs[:, 0], minlength=3)
+    assert counts.min() > 60
+
+
+@pytest.fixture(scope="module")
+def synth_setup(small_assets):
+    synth = GtSynthesizer(small_assets)
+    opts = ProcessOptions(input_joint_name="human36", is_train=True)
+    ds = SyntheticDataset(small_assets, opts, n=48, seed=0,
+                          synthesizer=synth)
+    return synth, opts, ds
+
+
+def test_synthetic_dataset_geometry(small_assets, synth_setup):
+    synth, opts, ds = synth_setup
+    t = ds.table
+    assert len(ds) == 48
+    # GT joints project to the stored image coords
+    img = coords.cam2pixel(t.joint_cam_h36m[0], t.focal[0], t.princpt[0])
+    np.testing.assert_allclose(img[:, :2], t.joint_img_h36m[0], atol=1e-2)
+
+
+def test_gator_batch_contract(small_assets, synth_setup):
+    synth, opts, ds = synth_setup
+    rng = np.random.default_rng(0)
+    batch = ds.make_batch(np.arange(8), synth, rng, stage="gator")
+    v = small_assets.vertex_num
+    assert batch["pose2d"].shape == (8, 17, 2)
+    assert batch["mesh"].shape == (8, v, 3)
+    assert batch["lift_pose3d"].shape == (8, 17, 3)
+    assert batch["mesh_valid"].shape == (8, v, 1)
+    # inputs standardized per sample
+    np.testing.assert_allclose(batch["pose2d"].mean(axis=1), 0, atol=1e-4)
+    # mesh target is meters, root-relative (|values| well under 2 m)
+    assert np.abs(batch["mesh"]).max() < 2.0
+    # lift target consistent with regressing from the GT mesh
+    reg = np.einsum("jv,bvc->bjc", small_assets.j_regressor_h36m,
+                    batch["mesh"] * 1000)
+    np.testing.assert_allclose(reg, batch["reg_pose3d"], atol=2.0)
+
+
+def test_gat_batch_contract(small_assets, synth_setup):
+    synth, opts, ds = synth_setup
+    batch = ds.make_batch(np.arange(4), synth, np.random.default_rng(0),
+                          stage="gat")
+    assert set(batch) == {"pose2d", "joint_cam", "joint_valid"}
+    assert batch["joint_cam"].shape == (4, 17, 3)
+
+
+def test_pipeline_iteration_and_mixing(small_assets, synth_setup):
+    synth, opts, _ = synth_setup
+    ds1 = SyntheticDataset(small_assets, opts, n=32, seed=1,
+                           synthesizer=synth)
+    ds2 = SyntheticDataset(small_assets, opts, n=8, seed=2,
+                           synthesizer=synth)
+    pipe = BatchPipeline([ds1, ds2], synth, batch_size=16, seed=0,
+                         prefetch=1)
+    batches = list(pipe)
+    assert len(pipe) == (32 * 2) // 16
+    assert len(batches) == len(pipe)
+    for b in batches:
+        assert b["pose2d"].shape[0] == 16
+    # epochs reshuffle
+    pipe.set_epoch(1)
+    b2 = next(iter(pipe))
+    assert not np.allclose(b2["pose2d"], batches[0]["pose2d"])
