@@ -81,6 +81,58 @@ class GtSynthesizer:
         joints = (joints + smpl_trans) * 1000.0
         return verts, joints
 
+    def _prep_shape(self, shape, gender, clean):
+        if clean:
+            shape = _clean_shape(shape)
+        mean_b = jnp.asarray(self.assets.smpl_gendered[gender].mean_betas)
+        zero = jnp.all(shape == 0, axis=1, keepdims=True)
+        return jnp.where(zero, mean_b[None], shape)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def smpl_mesh_direct(self, pose, shape, trans,
+                         gender: str = "neutral", clean: bool = True):
+        """SMPL with translation applied inside the layer, no camera
+        rotation — the MuCo / 3DPW path (reference: MuCo/dataset.py:196-216
+        with |beta|>3 cleaning, PW3D/dataset.py:84-102 without).
+        Returns (mesh_mm, joints_mm)."""
+        shape = self._prep_shape(shape, gender, clean)
+        verts, joints = smpl_forward(self.params[gender], pose, shape,
+                                     trans)
+        return verts * 1000.0, joints * 1000.0
+
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
+    def smpl_mesh_plain(self, pose, shape, gender: str = "neutral",
+                        clean: bool = True):
+        """SMPL with neither translation nor camera rotation — the COCO
+        SMPLify-fit path (reference: COCO/dataset.py:147-166)."""
+        shape = self._prep_shape(shape, gender, clean)
+        verts, joints = smpl_forward(self.params[gender], pose, shape)
+        return verts * 1000.0, joints * 1000.0
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6))
+    def smpl_mesh_rotated(self, pose, shape, cam_r, cam_t_m,
+                          gender: str = "neutral", clean: bool = False):
+        """Camera-rotated root pose + additive translation in meters — the
+        AMASS virtual-camera path (reference: AMASS/dataset.py:186-213)."""
+        pose = rotate_root_pose(pose, cam_r)
+        shape = self._prep_shape(shape, gender, clean)
+        verts, joints = smpl_forward(self.params[gender], pose, shape)
+        verts = (verts + cam_t_m[:, None]) * 1000.0
+        joints = (joints + cam_t_m[:, None]) * 1000.0
+        return verts, joints
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def coco_weak_perspective(self, mesh_mm, s, t):
+        """COCO joints from mesh + weak-perspective projection
+        img = (cam_xy/1000) * s + t (reference: COCO/dataset.py:183-194)."""
+        cam = jnp.einsum("jv,bvc->bjc", self.j_reg_coco, mesh_mm)
+        pelvis = 0.5 * (cam[:, self._lhip] + cam[:, self._rhip])
+        neck = 0.5 * (cam[:, self._lsho] + cam[:, self._rsho])
+        cam = jnp.concatenate([cam, pelvis[:, None], neck[:, None]], axis=1)
+        xy = cam[..., :2] / 1000.0 * s[:, None] + t[:, None]
+        img = jnp.concatenate([xy, jnp.ones_like(cam[..., :1])], axis=-1)
+        return cam, img
+
     @functools.partial(jax.jit, static_argnums=0)
     def coco_from_mesh(self, mesh_mm, focal, princpt):
         """COCO joints regressed from the mesh + pelvis/neck, camera and

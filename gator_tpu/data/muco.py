@@ -1,0 +1,190 @@
+"""MuCo-3DHP dataset reader (train only).
+
+Multi-person composited dataset: per image the closest-to-camera person is
+kept (reference: data/MuCo/dataset.py:138-141); SMPL params per annotation
+with NaN filtering (:169-177); GT joints regressed from the fitted mesh and
+projected with the full camera; fitting filter 45 mm against the MuCo
+annotation joints transferred to the h36m joint set (:30,246-262 — note the
+reference passes mesh-regressed joints into that filter, which would index
+out of bounds; this implementation uses the annotation joints, the evident
+intent).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os.path as osp
+from typing import Dict
+
+import numpy as np
+
+from ..assets.bundle import GatorAssets
+from . import augment, coords, processing
+from .gt_synth import GtSynthesizer
+
+MUCO_JOINTS_NAME = (
+    "Head_top", "Thorax", "R_Shoulder", "R_Elbow", "R_Wrist", "L_Shoulder",
+    "L_Elbow", "L_Wrist", "R_Hip", "R_Knee", "R_Ankle", "L_Hip", "L_Knee",
+    "L_Ankle", "Pelvis", "Spine", "Head", "R_Hand", "L_Hand", "R_Toe",
+    "L_Toe")
+MUCO_ROOT_IDX = MUCO_JOINTS_NAME.index("Pelvis")
+H36M_NAMES = (
+    "Pelvis", "R_Hip", "R_Knee", "R_Ankle", "L_Hip", "L_Knee", "L_Ankle",
+    "Torso", "Neck", "Nose", "Head", "L_Shoulder", "L_Elbow", "L_Wrist",
+    "R_Shoulder", "R_Elbow", "R_Wrist")
+
+
+@dataclasses.dataclass
+class MucoTable:
+    pose: np.ndarray        # [N, 72]
+    shape: np.ndarray       # [N, 10]
+    trans: np.ndarray       # [N, 3]
+    focal: np.ndarray       # [N, 2]
+    princpt: np.ndarray     # [N, 2]
+    joint_cam_muco: np.ndarray  # [N, 21, 3]
+
+    def __len__(self):
+        return self.pose.shape[0]
+
+
+class MucoDataset:
+    name = "MuCo"
+    fitting_thr = 45.0   # mm (reference: MuCo/dataset.py:30)
+
+    def __init__(self, assets: GatorAssets, opts: processing.ProcessOptions,
+                 data_dir: str, split: str = "train"):
+        assert split == "train"
+        self.assets = assets
+        self.opts = processing.ProcessOptions(
+            **{**opts.__dict__, "fitting_thr": self.fitting_thr,
+               "is_train": True})
+        self.joint_set = assets.joint_set
+        self.table = self._load(data_dir)
+        # static muco->h36m transfer mask
+        self._h36m_from_muco = np.array(
+            [MUCO_JOINTS_NAME.index(n) if n in MUCO_JOINTS_NAME else -1
+             for n in H36M_NAMES])
+
+    def _load(self, data_dir) -> MucoTable:
+        base = osp.join(data_dir, "MuCo")
+        with open(osp.join(base, "data",
+                           "MuCo-3DHP.json")) as f:
+            db = json.load(f)
+        with open(osp.join(base, "data",
+                           "smpl_param.json")) as f:
+            smpl_params = json.load(f)
+
+        anns_by_img: Dict[int, list] = {}
+        for ann in db["annotations"]:
+            anns_by_img.setdefault(ann["image_id"], []).append(ann)
+        images = {img["id"]: img for img in db["images"]}
+
+        aspect = self.opts.input_shape[1] / self.opts.input_shape[0]
+        rows = []
+        for iid, anns in anns_by_img.items():
+            img = images[iid]
+            focal = np.array(img["f"], np.float32).reshape(2)
+            princpt = np.array(img["c"], np.float32).reshape(2)
+            # closest person to the camera (reference: :138-141)
+            depths = [a["keypoints_cam"][MUCO_ROOT_IDX][2] for a in anns]
+            ann = anns[int(np.argmin(depths))]
+            if coords.process_bbox(np.array(ann["bbox"]), aspect) is None:
+                continue
+            param = smpl_params.get(str(ann["id"]))
+            if param is None:
+                continue
+            pose = np.array(param["pose"], np.float32).reshape(72)
+            shape = np.array(param["shape"], np.float32).reshape(-1)[:10]
+            trans = np.array(param["trans"], np.float32).reshape(3)
+            if np.isnan(pose.sum() + shape.sum() + trans.sum()):
+                continue
+            rows.append(dict(
+                pose=pose, shape=shape, trans=trans,
+                focal=focal, princpt=princpt,
+                joint_cam=np.array(ann["keypoints_cam"],
+                                   np.float32).reshape(21, 3),
+            ))
+        if not rows:
+            raise ValueError("MuCo annotations produced no usable samples")
+        return MucoTable(
+            pose=np.stack([r["pose"] for r in rows]),
+            shape=np.stack([r["shape"] for r in rows]),
+            trans=np.stack([r["trans"] for r in rows]),
+            focal=np.stack([r["focal"] for r in rows]),
+            princpt=np.stack([r["princpt"] for r in rows]),
+            joint_cam_muco=np.stack([r["joint_cam"] for r in rows]),
+        )
+
+    def __len__(self):
+        return len(self.table)
+
+    def _fitting_error(self, muco_joint, mesh_mm):
+        """Translation-aligned error on muco->h36m transferred joints
+        (reference: MuCo/dataset.py:246-262)."""
+        rel = muco_joint - muco_joint[MUCO_ROOT_IDX:MUCO_ROOT_IDX + 1]
+        mask = self._h36m_from_muco >= 0
+        h36m_gt = rel[self._h36m_from_muco[mask]]
+        reg = (self.assets.j_regressor_h36m @ mesh_mm)[mask]
+        reg = reg - reg.mean(0) + h36m_gt.mean(0)
+        return float(np.sqrt(((h36m_gt - reg) ** 2).sum(1)).mean())
+
+    def make_batch(self, indices, synth: GtSynthesizer,
+                   rng: np.random.Generator,
+                   stage: str = "gator") -> Dict[str, np.ndarray]:
+        t = self.table
+        idx = np.asarray(indices)
+        mesh_mm, _ = synth.smpl_mesh_direct(
+            t.pose[idx], t.shape[idx], t.trans[idx], "neutral", True)
+        mesh_mm = np.asarray(mesh_mm)
+        coco_cam, coco_img = synth.coco_from_mesh(
+            mesh_mm, t.focal[idx], t.princpt[idx])
+        coco_cam, coco_img = np.asarray(coco_cam), np.asarray(coco_img)
+        h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
+
+        opts = self.opts
+        jset = self.joint_set
+        out = {k: [] for k in ("pose2d", "mesh", "lift_pose3d",
+                               "reg_pose3d", "mesh_valid", "reg_valid",
+                               "lift_valid", "joint_cam", "joint_valid")}
+        for row, i in enumerate(idx):
+            flip, rot = augment.augm_params(
+                opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
+            mesh_rel = mesh_mm[row] - h36m_cam[row][:1]
+            cc = coco_cam[row] - coco_cam[row][-2:-1]
+            jh = h36m_cam[row] - h36m_cam[row][:1]
+            if opts.input_joint_name == "coco":
+                joint_img, joint_cam = coco_img[row][:, :2], cc
+            else:
+                # h36m input: project regressed h36m joints
+                ji = coords.cam2pixel(h36m_cam[row], t.focal[i],
+                                      t.princpt[i])[:, :2]
+                joint_img, joint_cam = ji.astype(np.float32), jh
+            err = self._fitting_error(t.joint_cam_muco[i], mesh_mm[row])
+            area = (processing.crop_area(joint_img, opts)
+                    if not opts.use_gt_input
+                    and opts.input_joint_name == "coco" else None)
+            pose2d = processing.crop_and_normalize_input(
+                joint_img, jset, opts, rng, flip, rot,
+                coco_noise_area=area)
+            out["pose2d"].append(pose2d)
+            bad = err > self.fitting_thr
+            if stage == "gator":
+                tgt = processing.gator_targets(
+                    mesh_rel, joint_cam, jh, 0.0, opts, flip, rot, jset)
+                if bad:  # MuCo zeroes all masks (dataset.py:316-319)
+                    tgt["mesh_valid"][:] = 0
+                    tgt["reg_valid"][:] = 0
+                    tgt["lift_valid"][:] = 0
+                for k, v in tgt.items():
+                    out[k].append(v)
+            else:
+                jc = augment.j3d_processing(joint_cam, rot, flip,
+                                            jset.flip_pairs)
+                out["joint_cam"].append(jc)
+                out["joint_valid"].append(
+                    np.ones((len(jc), 1), np.float32))
+        keys = (("pose2d", "mesh", "lift_pose3d", "reg_pose3d",
+                 "mesh_valid", "reg_valid", "lift_valid")
+                if stage == "gator" else
+                ("pose2d", "joint_cam", "joint_valid"))
+        return {k: np.stack(out[k]) for k in keys}
