@@ -1,0 +1,148 @@
+"""Shared CLI wiring: config -> assets, datasets, model, pipeline.
+
+Replaces the reference's prepare_network (reference: lib/core/base.py:46-94)
+without its global-config / import-side-effect structure.
+"""
+from __future__ import annotations
+
+import os
+import os.path as osp
+from dataclasses import replace
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .. import losses
+from ..assets import build_assets
+from ..config import Config
+from ..data import (DATASETS, BatchPipeline, GtSynthesizer, ProcessOptions,
+                    SyntheticDataset)
+from ..models import GatSpec, GatorSpec, init_gat, init_gator
+from ..train import (TrainState, make_gat_eval_step, make_gat_train_step,
+                     make_gator_eval_step, make_gator_train_step,
+                     make_optimizer, multistep_lr)
+
+
+def resolve_data_dirs(cfg: Config) -> List[str]:
+    dirs = []
+    env = os.environ.get("GATOR_DATA_DIR")
+    if env:
+        dirs.append(env)
+    dirs.append(osp.join(os.getcwd(), "data"))
+    base = cfg.DATASET.BASE_DATA_DIR
+    if base and osp.isdir(base):
+        dirs.append(osp.dirname(base.rstrip("/")) or ".")
+    return dirs
+
+
+def make_opts(cfg: Config, is_train: bool) -> ProcessOptions:
+    return ProcessOptions(
+        input_shape=tuple(cfg.MODEL.input_shape),
+        use_gt_input=cfg.DATASET.use_gt_input,
+        flip_enabled=cfg.AUG.flip,
+        rotate_factor=cfg.AUG.rotate_factor,
+        is_train=is_train,
+        input_joint_name=cfg.DATASET.input_joint_set,
+    )
+
+
+def build_datasets(cfg: Config, assets, names, is_train: bool,
+                   debug: bool = False, synthetic_n: int = 256):
+    """Instantiate datasets by reference names; 'Synthetic' needs no
+    external data."""
+    data_dir = None
+    for d in resolve_data_dirs(cfg):
+        if osp.isdir(d):
+            data_dir = d
+            break
+    opts = make_opts(cfg, is_train)
+    out = []
+    for name in names:
+        cls = DATASETS[name]
+        if name == "Synthetic":
+            out.append(SyntheticDataset(assets, opts, n=synthetic_n,
+                                        seed=cfg.seed))
+        elif name == "Human36M":
+            out.append(cls(assets, opts, data_dir,
+                           "train" if is_train else "test", debug=debug))
+        elif name == "PW3D":
+            out.append(cls(assets, opts, data_dir, "test"))
+        else:
+            out.append(cls(assets, opts, data_dir, "train"))
+    return out
+
+
+class Session:
+    """Everything one training/eval run needs, built once from a Config."""
+
+    def __init__(self, cfg: Config, is_train: bool = True,
+                 debug: bool = False, synthetic: bool = False):
+        self.cfg = cfg
+        names = (cfg.DATASET.train_list if is_train
+                 else cfg.DATASET.test_list)
+        if synthetic:
+            names = ("Synthetic",)
+        self.assets = build_assets(cfg.DATASET.input_joint_set,
+                                   data_dirs=resolve_data_dirs(cfg))
+        self.synth = GtSynthesizer(self.assets)
+        self.datasets = build_datasets(cfg, self.assets, names, is_train,
+                                       debug=debug)
+        self.is_gator = cfg.MODEL.name == "GATOR"
+
+        if self.is_gator:
+            self.spec = GatorSpec.from_assets(
+                self.assets, embed_dim=cfg.MODEL.embed_dim,
+                depth=cfg.MODEL.depth, alpha=cfg.MODEL.alpha)
+        else:
+            self.spec = GatSpec.from_assets(
+                self.assets, embed_dim=cfg.MODEL.embed_dim,
+                depth=cfg.MODEL.depth)
+
+        batch_size = (cfg.TRAIN.batch_size if is_train
+                      else cfg.TEST.batch_size)
+        self.pipeline = BatchPipeline(
+            self.datasets, self.synth, batch_size,
+            shuffle=cfg.TRAIN.shuffle if is_train else cfg.TEST.shuffle,
+            seed=cfg.seed, stage="gator" if self.is_gator else "gat",
+            drop_last=is_train)
+
+        self.target_regressor = (
+            self.assets.j_regressor_h36m
+            if cfg.DATASET.target_joint_set == "human36"
+            else self.assets.j_regressor_coco)
+
+    # -- model/optimizer ---------------------------------------------------
+
+    def init_variables(self, rng: Optional[jax.Array] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.cfg.seed)
+        if self.is_gator:
+            return init_gator(self.spec, rng)
+        return init_gat(self.spec, rng)
+
+    def make_optimizer(self):
+        cfg = self.cfg
+        steps_per_epoch = max(1, len(self.pipeline))
+        sched = multistep_lr(cfg.TRAIN.lr, cfg.TRAIN.lr_step,
+                             cfg.TRAIN.lr_factor, steps_per_epoch)
+        return make_optimizer(cfg.TRAIN.optimizer, sched)
+
+    def make_steps(self, tx):
+        cfg = self.cfg
+        if self.is_gator:
+            train_step = make_gator_train_step(
+                self.spec, self.assets.faces, self.target_regressor,
+                losses.LossWeights(
+                    normal=cfg.MODEL.normal_loss_weight,
+                    edge=cfg.MODEL.edge_loss_weight,
+                    joint=cfg.MODEL.joint_loss_weight), tx)
+            eval_step = make_gator_eval_step(
+                self.spec, self.target_regressor,
+                self.assets.joint_set.eval_joints
+                if self.assets.joint_set.name == "human36" else
+                (1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16))
+        else:
+            train_step = make_gat_train_step(self.spec, tx)
+            eval_step = make_gat_eval_step(
+                self.spec, self.assets.joint_set.eval_joints)
+        return train_step, eval_step

@@ -1,0 +1,146 @@
+"""Training CLI: `python -m gator_tpu.cli.train --cfg <yaml> [...]`.
+
+Mirrors main/train.py (reference: main/train.py:1-62): per-epoch train +
+eval, best tracking on joint error, checkpoint{N}/best/final, loss plots —
+with data-parallel execution over every visible chip and explicit (not
+import-time) experiment-dir creation.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_config
+from ..parallel import make_mesh, replicate, shard_batch
+from ..train import (TrainState, jit_data_parallel, load_checkpoint,
+                     pick_checkpoint, save_checkpoint)
+from ..vis import save_loss_plot
+from .common import Session
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train GAT / GATOR on TPU")
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--resume_training", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic dataset (no downloads)")
+    p.add_argument("--exp_dir", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override cfg.TRAIN.end_epoch")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    overrides = {}
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    cfg = load_config(args.cfg, overrides)
+
+    exp_dir = args.exp_dir or osp.join(
+        "experiment", f"exp_{time.strftime('%m-%d_%H%M%S')}")
+    ckpt_dir = osp.join(exp_dir, "checkpoint")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    print(f"experiment dir: {exp_dir}")
+
+    sess = Session(cfg, is_train=True, debug=args.debug,
+                   synthetic=args.synthetic)
+    eval_sess = Session(cfg, is_train=False, debug=args.debug,
+                        synthetic=args.synthetic)
+
+    tx = sess.make_optimizer()
+    train_step, _ = sess.make_steps(tx)
+    _, eval_step = sess.make_steps(tx)
+    variables = sess.init_variables()
+
+    # stage-2 init from a pretrained stage-1 lifter
+    # (reference: GAT.py:125-131 via cfg.MODEL.posenet_pretrained/path)
+    if sess.is_gator and cfg.MODEL.posenet_pretrained \
+            and cfg.MODEL.posenet_path:
+        lift = load_checkpoint(
+            pick_checkpoint(cfg.MODEL.posenet_path, pick_best=True))
+        variables["params"]["pose_lifter"] = jax.tree_util.tree_map(
+            jnp.asarray, lift["state"]["params"])
+        print(f"loaded pretrained lifter from {cfg.MODEL.posenet_path}")
+
+    state = TrainState.create(variables, tx)
+    begin_epoch = cfg.TRAIN.begin_epoch
+    loss_history: list = []
+    error_history = {"surface": [], "joint": []}
+    if args.resume_training:
+        restored = load_checkpoint(pick_checkpoint(ckpt_dir),
+                                   target_state=state)
+        state = restored["state"]
+        begin_epoch = int(restored["epoch"]) + 1
+        loss_history = list(restored.get("train_log", []))
+        error_history = {k: list(v) for k, v in
+                         restored.get("test_log", error_history).items()}
+        print(f"resumed from epoch {begin_epoch - 1}")
+
+    mesh = make_mesh()
+    print(f"devices: {jax.device_count()} ({mesh})")
+    state = replicate(mesh, state)
+    dstep = jit_data_parallel(train_step, mesh)
+    jeval = jax.jit(eval_step)
+
+    end_epoch = args.epochs or cfg.TRAIN.end_epoch
+    rng = jax.random.PRNGKey(cfg.seed)
+    best_joint_err = np.inf
+    for epoch in range(begin_epoch, end_epoch + 1):
+        sess.pipeline.set_epoch(epoch)
+        edge_on = jnp.asarray(
+            1.0 if (sess.is_gator and epoch > cfg.TRAIN.edge_loss_start)
+            else 0.0)
+        running, steps, t0 = 0.0, 0, time.time()
+        for batch in sess.pipeline:
+            batch = shard_batch(mesh, batch)
+            if sess.is_gator:
+                state, m = dstep(state, batch, rng, edge_on)
+            else:
+                state, m = dstep(state, batch, rng)
+            running += float(m["loss"])
+            steps += 1
+            if steps % cfg.TRAIN.print_freq == 0:
+                per = {k: float(v) for k, v in m.items()}
+                msg = " ".join(f"{k}: {v:.4f}" for k, v in per.items())
+                print(f"epoch {epoch} [{steps}/{len(sess.pipeline)}] {msg}")
+        epoch_loss = running / max(1, steps)
+        loss_history.append(epoch_loss)
+        dt = time.time() - t0
+        sps = steps * cfg.TRAIN.batch_size / max(dt, 1e-9)
+        print(f"epoch {epoch} loss {epoch_loss:.4f} "
+              f"({dt:.1f}s, {sps:.0f} samples/s)")
+
+        # eval (reference runs the tester every epoch, main/train.py:41)
+        j_errs, s_errs = [], []
+        for batch in eval_sess.pipeline:
+            out = jeval(state, batch)
+            j_errs.append(float(out["joint_err"]))
+            if "surface_err" in out:
+                s_errs.append(float(out["surface_err"]))
+        j_err = float(np.mean(j_errs)) if j_errs else np.inf
+        s_err = float(np.mean(s_errs)) if s_errs else np.inf
+        error_history["joint"].append(j_err)
+        error_history["surface"].append(s_err)
+        print(f"epoch {epoch} MPJPE: {j_err:.2f}  MPVPE: {s_err:.2f}")
+
+        is_best = j_err < best_joint_err
+        best_joint_err = min(best_joint_err, j_err)
+        save_checkpoint(ckpt_dir, state, epoch, loss_history,
+                        error_history, is_best=is_best,
+                        is_final=(epoch == end_epoch))
+        save_loss_plot(loss_history, osp.join(exp_dir, "train_loss.pdf"))
+    print(f"done; best joint error {best_joint_err:.2f}")
+    return best_joint_err
+
+
+if __name__ == "__main__":
+    main()
