@@ -16,25 +16,28 @@ Runs equally on TPU (GT-mesh synthesis on device, inference) and CPU.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..assets.smpl_assets import SmplModel
 from .rotations import axis_angle_to_rotmat, rotmat_flat_minus_id
 
 
-class SmplParams(NamedTuple):
-    """Device-resident SMPL constants (a pytree; jit captures it)."""
+@struct.dataclass
+class SmplParams:
+    """Device-resident SMPL constants. A pytree: array fields are leaves,
+    the kintree parents are static metadata (safe to pass through jit)."""
 
     v_template: jnp.ndarray    # [V, 3]
     shapedirs: jnp.ndarray     # [V, 3, 10]
     posedirs: jnp.ndarray      # [V, 3, 207]
     j_regressor: jnp.ndarray   # [24, V]
     weights: jnp.ndarray       # [V, 24]
-    parents: tuple             # static: length-24 kintree parents
+    parents: tuple = struct.field(pytree_node=False, default=())
 
     @classmethod
     def from_model(cls, model: SmplModel,
