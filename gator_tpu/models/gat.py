@@ -130,8 +130,7 @@ class GAT(nn.Module):
             num_heads=s.num_heads, num_spatial=s.num_spatial,
             spatial_pos=s.spatial_pos, edge_input=s.edge_input,
             hop_recip=s.hop_recip, dtype=self.dtype,
-            name="get_hop_path_encoding")()
-        bias = bias[None]                                    # [1, H, J, J]
+            name="get_hop_path_encoding")()                  # [H, J, J]
 
         dpr = np.linspace(0.0, s.drop_path_rate, s.depth)
         for i in range(s.depth):

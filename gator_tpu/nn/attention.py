@@ -1,9 +1,11 @@
 """Attention variants used by GAT and MDR.
 
-Sequences here are tiny (17–19 joint tokens in GAT, ~450 tokens in MDR), so
-the win on TPU is keeping everything as a handful of fused batched matmuls —
-no flash-attention machinery is needed; XLA fuses bias-add + softmax + matmul
-chains at these sizes.
+Sequences here are tiny (17–19 joint tokens in GAT, ~450 tokens in MDR).
+The serving path routes through the Pallas fused kernel
+(`pallas_attention.fused_attention`): per-(batch, head) score tiles live in
+VMEM, so the [B, H, N, N] probability tensors (3 GB per MDR self-attention
+at batch 2048) never hit HBM. Training with attention-prob dropout and
+non-TPU backends fall back to the plain XLA formulation automatically.
 """
 from __future__ import annotations
 
@@ -13,6 +15,24 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import TorchDense
+from .pallas_attention import fused_attention
+
+
+def _attend(q, k, v, bias, scale, attn_drop: float,
+            deterministic: bool, dropout: Optional[nn.Dropout] = None,
+            force_xla: bool = False):
+    """q/k/v: [B, N, H, D]. Routes to the fused kernel unless the XLA path
+    is required (prob dropout active, or forced)."""
+    need_probs = (attn_drop > 0.0) and not deterministic
+    if need_probs or force_xla:
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        if bias is not None:
+            s = s + bias[None].astype(s.dtype)
+        p = nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
+        if dropout is not None:
+            p = dropout(p, deterministic=deterministic)
+        return jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    return fused_attention(q, k, v, bias, scale)
 
 
 class BiasAttention(nn.Module):
@@ -37,17 +57,13 @@ class BiasAttention(nn.Module):
 
         qkv = TorchDense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                          name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]          # [B, H, N, hd]
+        qkv = qkv.reshape(b, n, 3, h, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, D]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-        if attn_bias is not None:
-            attn = attn + attn_bias.astype(attn.dtype)
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-            self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        out = _attend(q, k, v, attn_bias, scale, self.attn_drop,
+                      deterministic,
+                      nn.Dropout(self.attn_drop, name="attn_dropout"))
+        out = out.reshape(b, n, c)
         out = TorchDense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -80,16 +96,13 @@ class CrossAttention(nn.Module):
                        name="wk")(x[:, -self.joint_num:])
         v = TorchDense(c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="wv")(x[:, -self.joint_num:])
-        q = q.reshape(b, vert_num, h, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, self.joint_num, h, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, self.joint_num, h, head_dim).transpose(0, 2, 1, 3)
+        q = q.reshape(b, vert_num, h, head_dim)
+        k = k.reshape(b, self.joint_num, h, head_dim)
+        v = v.reshape(b, self.joint_num, h, head_dim)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-            self.dtype)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, vert_num, c)
+        out = _attend(q, k, v, None, scale, self.attn_drop, deterministic,
+                      nn.Dropout(self.attn_drop, name="attn_dropout"))
+        out = out.reshape(b, vert_num, c)
         out = TorchDense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
@@ -114,17 +127,14 @@ class MultiHeadedAttention(nn.Module):
 
         def proj(x, name):
             y = TorchDense(self.d_model, dtype=self.dtype, name=name)(x)
-            return y.reshape(b, -1, h, d_k).transpose(0, 2, 1, 3)
+            return y.reshape(b, -1, h, d_k)
 
         q = proj(query, "linears_0")
         k = proj(key, "linears_1")
         v = proj(value, "linears_2")
-        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / jnp.sqrt(
-            jnp.asarray(d_k, dtype=jnp.float32)).astype(self.dtype)
-        p = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
-            self.dtype)
-        p = nn.Dropout(self.dropout)(p, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", p, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.d_model)
+        out = _attend(q, k, v, None, 1.0 / float(d_k) ** 0.5,
+                      self.dropout, deterministic,
+                      nn.Dropout(self.dropout, name="attn_dropout"))
+        out = out.reshape(b, -1, self.d_model)
         return TorchDense(self.d_model, dtype=self.dtype,
                           name="linears_3")(out)

@@ -99,9 +99,10 @@ def test_multistep_lr_schedule():
     assert float(sched(40)) == pytest.approx(1e-5, rel=1e-4)
 
 
-def test_data_parallel_step_matches_single_device(small_assets, rng):
+def test_data_parallel_step_matches_single_device(small_assets):
     """The sharded step on the 8-device mesh must agree with single-device
     execution (same math, GSPMD inserts the collectives)."""
+    rng = np.random.default_rng(99)   # local: test must not depend on order
     assert jax.device_count() >= 8
     spec = GatorSpec.from_assets(small_assets, embed_dim=64, depth=1,
                                  alpha=True)
@@ -126,13 +127,14 @@ def test_data_parallel_step_matches_single_device(small_assets, rng):
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                rtol=2e-4)
-    # parameters agree after the update (atol covers Adam's amplification
-    # of reduction-order float noise: update ~= lr * g/sqrt(v) flips by
-    # O(lr) when g is at float-epsilon scale)
+    # parameters agree after the update. Adam's first step is bounded by
+    # ~lr per element and its SIGN flips when a gradient element sits at
+    # float-reduction-noise scale, so the worst-case legitimate disagreement
+    # is ~2*lr = 2e-3; real math bugs show up at O(1e-1).
     p1 = jax.tree_util.tree_leaves(s1.params)
     p8 = jax.tree_util.tree_leaves(s8.params)
     for a, b in zip(p1, p8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.1e-3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
 
 
 def test_checkpoint_roundtrip(tmp_path, small_assets):
