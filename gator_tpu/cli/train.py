@@ -56,6 +56,18 @@ def main(argv=None):
     eval_sess = Session(cfg, is_train=False, debug=args.debug,
                         synthetic=args.synthetic)
 
+    # optional experiment tracking (reference: lib/core/base.py:114-120;
+    # gated by cfg.TRAIN.wandb and import availability)
+    wandb_run = None
+    if cfg.TRAIN.wandb:
+        try:
+            import wandb
+            wandb_run = wandb.init(project=cfg.MODEL.name,
+                                   name=f"GATOR/{exp_dir}", dir=exp_dir,
+                                   job_type="training", reinit=True)
+        except Exception as exc:   # wandb not installed / offline
+            print(f"wandb disabled ({exc})")
+
     tx = sess.make_optimizer()
     train_step, _ = sess.make_steps(tx)
     _, eval_step = sess.make_steps(tx)
@@ -108,6 +120,9 @@ def main(argv=None):
                 state, m = dstep(state, batch, rng)
             running += float(m["loss"])
             steps += 1
+            if wandb_run is not None:
+                wandb_run.log({f"train_loss/{k}": float(v)
+                               for k, v in m.items()})
             if steps % cfg.TRAIN.print_freq == 0:
                 per = {k: float(v) for k, v in m.items()}
                 msg = " ".join(f"{k}: {v:.4f}" for k, v in per.items())
@@ -131,6 +146,8 @@ def main(argv=None):
         error_history["joint"].append(j_err)
         error_history["surface"].append(s_err)
         print(f"epoch {epoch} MPJPE: {j_err:.2f}  MPVPE: {s_err:.2f}")
+        if wandb_run is not None:
+            wandb_run.log({"error/MPJPE": j_err, "error/MPVPE": s_err})
 
         is_best = j_err < best_joint_err
         best_joint_err = min(best_joint_err, j_err)

@@ -173,15 +173,20 @@ class Human36M(SmplPoseDataset):
     # -- evaluation --------------------------------------------------------
 
     def evaluate(self, pred_mesh_mm: np.ndarray, gt_mesh_mm: np.ndarray,
-                 verbose: bool = True) -> Dict[str, float]:
-        """Final H36M evaluation: camera-4 samples only; H36M-regressed
-        MPJPE / PA-MPJPE on the 14-joint subset (GT joints from the dataset
-        annotations), SMPL-joint MPJPE and MPVPE vs the GT mesh; per-action
-        breakdown (reference: dataset.py:515-636)."""
+                 verbose: bool = True,
+                 all_cameras: bool = False) -> Dict[str, float]:
+        """Final H36M evaluation: camera-4 samples only (all_cameras=True
+        evaluates every view, the reference's dataset_test_all.py variant);
+        H36M-regressed MPJPE / PA-MPJPE on the 14-joint subset (GT joints
+        from the dataset annotations), SMPL-joint MPJPE and MPVPE vs the GT
+        mesh; per-action breakdown (reference: dataset.py:515-636,
+        dataset_test_all.py:23)."""
         from .. import metrics as jm
         import jax.numpy as jnp
 
-        sel = np.nonzero(self.table.meta["cam_idx"] == 4)[0]
+        cam_idx = self.table.meta["cam_idx"]
+        sel = (np.arange(len(cam_idx)) if all_cameras
+               else np.nonzero(cam_idx == 4)[0])
         pm, gm = pred_mesh_mm[sel], gt_mesh_mm[sel]
         jr_smpl = self.assets.j_regressor_smpl
         jr_h36m = self.assets.j_regressor_h36m

@@ -95,6 +95,23 @@ def mpvpe(pred_mesh, gt_mesh, pred_root, gt_root):
     return jnp.sqrt(((pred - gt) ** 2).sum(-1)).mean()
 
 
+def compute_errors(gt3ds, preds):
+    """Per-sample (MPJPE, PA-MPJPE) over LSP-14-style joints after pelvis
+    (hip-midpoint) alignment — the reference's HMR-lineage evaluation
+    helper (reference: lib/eval_utils.py:311-334), batched on device.
+    gt3ds/preds: [B, 14, 3]; returns (errors [B], pa_errors [B])."""
+    def align(x):
+        pelvis = (x[:, 2:3] + x[:, 3:4]) / 2.0
+        return x - pelvis
+
+    gt = align(gt3ds)
+    pred = align(preds)
+    errors = jnp.sqrt(((gt - pred) ** 2).sum(-1)).mean(-1)
+    aligned = procrustes_align(pred, gt)
+    pa_errors = jnp.sqrt(((gt - aligned) ** 2).sum(-1)).mean(-1)
+    return errors, pa_errors
+
+
 def accel_error(joints_gt, joints_pred):
     """Acceleration error over a [N, J, 3] sequence
     (reference: lib/coord_utils.py:194-222)."""
