@@ -101,63 +101,103 @@ class SmplPoseDataset:
 
     def _assemble(self, idx, mesh_mm, coco_cam, coco_img, fit_err, rng,
                   stage) -> Dict[str, np.ndarray]:
+        from .augment import augm_params
+
         t = self.table
         opts = self.opts
         jset = self.joint_set
-        out: Dict[str, list] = {k: [] for k in (
-            "pose2d", "mesh", "lift_pose3d", "reg_pose3d", "mesh_valid",
-            "reg_valid", "lift_valid", "joint_cam", "joint_valid")}
-        for row, i in enumerate(idx):
-            from .augment import augm_params
-            flip, rot = augm_params(opts.is_train, opts.flip_enabled,
-                                    opts.rotate_factor, rng)
-            jc_h36m = t.joint_cam_h36m[i]
-            # root-relative (reference: Human36M/dataset.py:352-356)
-            mesh_rel = mesh_mm[row] - jc_h36m[:1]
-            cc = coco_cam[row] - coco_cam[row][-2:-1]
-            jh = jc_h36m - jc_h36m[:1]
+        b = len(idx)
+        flips = np.zeros(b, np.int64)
+        rots = np.zeros(b, np.float32)
+        for row in range(b):
+            flips[row], rots[row] = augm_params(
+                opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
+
+        # vectorized root-relativization (reference: dataset.py:352-356)
+        jc_h36m = t.joint_cam_h36m[idx]
+        mesh_rel = mesh_mm - jc_h36m[:, :1]
+        cc = coco_cam - coco_cam[:, -2:-1]
+        jh = jc_h36m - jc_h36m[:, :1]
+        if opts.input_joint_name == "coco":
+            joint_img_b, joint_cam_b = coco_img[:, :, :2], cc
+        else:
+            joint_img_b, joint_cam_b = t.joint_img_h36m[idx], jh
+
+        # input assembly: vectorized fast path unless per-sample detector
+        # replacement / COCO noise synthesis is needed
+        scalar_path = (not opts.use_gt_input) and (
+            (not opts.is_train and self.detected_pose is not None)
+            or (opts.is_train and opts.input_joint_name == "coco"))
+        if scalar_path:
+            pose2d = np.stack([
+                processing.crop_and_normalize_input(
+                    joint_img_b[row], jset, opts, rng, int(flips[row]),
+                    float(rots[row]),
+                    detected_pose=(self.detected_pose[i]
+                                   if not opts.is_train
+                                   and self.detected_pose is not None
+                                   else None),
+                    coco_noise_area=(processing.crop_area(
+                        joint_img_b[row], opts)
+                        if opts.is_train
+                        and opts.input_joint_name == "coco" else None))
+                for row, i in enumerate(idx)])
+        else:
+            noise = None
+            if not opts.use_gt_input and opts.is_train \
+                    and opts.input_joint_name == "human36":
+                noise = np.stack([
+                    noise_mod.generate_h36m_syn_error(self._h36m_stats, rng)
+                    for _ in range(b)])
+                noise = noise / 256.0 * np.array(
+                    [opts.input_shape[1], opts.input_shape[0]], np.float32)
+            pose2d = processing.batch_crop_and_normalize(
+                joint_img_b.astype(np.float32), jset, opts, flips, rots,
+                h36m_noise=noise)
+
+        # vectorized 3D-target augmentation (augment.j3d_processing math)
+        def batch_j3d(s):
+            rad = -rots * np.pi / 180.0
+            cs, sn = np.cos(rad), np.sin(rad)
+            x = cs[:, None] * s[..., 0] - sn[:, None] * s[..., 1]
+            y = sn[:, None] * s[..., 0] + cs[:, None] * s[..., 1]
+            out = np.stack([x, y, s[..., 2]], axis=-1)
+            if flips.any():
+                fl = out.copy()
+                pairs = np.asarray(jset.flip_pairs)
+                if len(pairs):
+                    tmp = fl[:, pairs[:, 0]].copy()
+                    fl[:, pairs[:, 0]] = fl[:, pairs[:, 1]]
+                    fl[:, pairs[:, 1]] = tmp
+                fl[..., 0] = -fl[..., 0]
+                out = np.where(flips[:, None, None].astype(bool), fl, out)
+            return out.astype(np.float32)
+
+        bad = fit_err > opts.fitting_thr
+        if stage == "gator":
+            v = mesh_rel.shape[1]
+            mesh_valid = np.ones((b, v, 1), np.float32)
+            mesh_valid[bad] = 0
+            lift_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
             if opts.input_joint_name == "coco":
-                joint_img, joint_cam = coco_img[row][:, :2], cc
-            else:
-                joint_img, joint_cam = t.joint_img_h36m[i], jh
-
-            det = None
-            area = None
-            stats = None
-            if not opts.use_gt_input:
-                if not opts.is_train and self.detected_pose is not None:
-                    det = self.detected_pose[i]
-                elif opts.input_joint_name == "coco":
-                    area = processing.crop_area(joint_img, opts)
-                else:
-                    stats = self._h36m_stats
-            pose2d = processing.crop_and_normalize_input(
-                joint_img, jset, opts, rng, flip, rot,
-                detected_pose=det, h36m_noise_stats=stats,
-                coco_noise_area=area)
-            out["pose2d"].append(pose2d)
-
-            if stage == "gator":
-                tgt = processing.gator_targets(
-                    mesh_rel, joint_cam, jh, float(fit_err[row]), opts,
-                    flip, rot, jset)
-                for k, v in tgt.items():
-                    out[k].append(v)
-            else:  # gat stage-1: lifted-joint targets only
-                jc = processing.augment.j3d_processing(
-                    joint_cam, rot, flip, jset.flip_pairs)
-                valid = np.ones((len(jc), 1), np.float32)
-                if opts.input_joint_name == "coco" \
-                        and float(fit_err[row]) > opts.fitting_thr:
-                    valid[:] = 0
-                out["joint_cam"].append(jc)
-                out["joint_valid"].append(valid)
-
-        keys = (("pose2d", "mesh", "lift_pose3d", "reg_pose3d",
-                 "mesh_valid", "reg_valid", "lift_valid")
-                if stage == "gator" else
-                ("pose2d", "joint_cam", "joint_valid"))
-        return {k: np.stack(out[k]) for k in keys}
+                lift_valid[bad] = 0
+            return {
+                "pose2d": pose2d,
+                "mesh": (mesh_rel / 1000.0).astype(np.float32),
+                "lift_pose3d": batch_j3d(joint_cam_b),
+                "reg_pose3d": jh.astype(np.float32),
+                "mesh_valid": mesh_valid,
+                "reg_valid": np.ones((b, 17, 1), np.float32),
+                "lift_valid": lift_valid,
+            }
+        joint_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
+        if opts.input_joint_name == "coco":
+            joint_valid[bad] = 0
+        return {
+            "pose2d": pose2d,
+            "joint_cam": batch_j3d(joint_cam_b),
+            "joint_valid": joint_valid,
+        }
 
 
 def mixed_epoch_indices(lengths, rng: np.random.Generator) -> np.ndarray:

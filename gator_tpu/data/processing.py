@@ -79,6 +79,68 @@ def crop_and_normalize_input(
     return augment.normalize_input_pose(proc[:, :2], opts.input_shape)
 
 
+def batch_crop_and_normalize(
+    joint_img: np.ndarray,                 # [B, J, 2]
+    joint_set: JointSet,
+    opts: ProcessOptions,
+    flip: np.ndarray,                      # [B] 0/1
+    rot: np.ndarray,                       # [B] degrees
+    h36m_noise: Optional[np.ndarray] = None,   # [B, J, 2] additive, or None
+) -> np.ndarray:
+    """Vectorized fast path of `crop_and_normalize_input` for whole batches
+    (GT-input and h36m-synthetic-noise modes; detector replacement and the
+    per-sample COCO noise simulator stay on the scalar path).
+
+    Math identical to the per-sample route: tight bbox -> aspect-snapped
+    crop -> rotate-about-center affine -> optional noise -> optional flip ->
+    [0,1] scaling -> per-sample standardization.
+    """
+    b = joint_img.shape[0]
+    res_w, res_h = opts.res_wh
+    aspect = opts.input_shape[1] / opts.input_shape[0]
+
+    x0 = joint_img[..., 0].min(axis=1)
+    x1 = joint_img[..., 0].max(axis=1)
+    y0 = joint_img[..., 1].min(axis=1)
+    y1 = joint_img[..., 1].max(axis=1)
+    w = x1 - x0
+    h = y1 - y0
+    cx, cy = x0 + (w - 1) / 2.0, y0 + (h - 1) / 2.0
+    # aspect snap (coords.process_bbox math, vectorized)
+    w = w - 1.0
+    h = h - 1.0
+    h = np.where(w > aspect * h, w / aspect, h)
+    w = np.where(w < aspect * h, h * aspect, w)
+
+    # affine: rotate about (cx, cy) by -rot (the reference's convention —
+    # see augment.get_affine_transform), scale by res_w / w, recenter
+    rad = np.pi * rot / 180.0
+    cs, sn = np.cos(rad), np.sin(rad)
+    k = res_w / w
+    rel = joint_img - np.stack([cx, cy], axis=1)[:, None, :]
+    xr = cs[:, None] * rel[..., 0] + sn[:, None] * rel[..., 1]
+    yr = -sn[:, None] * rel[..., 0] + cs[:, None] * rel[..., 1]
+    out = np.stack([xr * k[:, None] + res_w / 2.0,
+                    yr * k[:, None] + res_h / 2.0], axis=-1)
+
+    if h36m_noise is not None:
+        out = out + h36m_noise
+    if flip.any():
+        flipped = out.copy()
+        flipped[..., 0] = res_w - flipped[..., 0] - 1
+        pairs = np.asarray(joint_set.flip_pairs)
+        if len(pairs):
+            tmp = flipped[:, pairs[:, 0]].copy()
+            flipped[:, pairs[:, 0]] = flipped[:, pairs[:, 1]]
+            flipped[:, pairs[:, 1]] = tmp
+        out = np.where(flip[:, None, None].astype(bool), flipped, out)
+
+    out = out / np.array([[res_w, res_h]], np.float32)
+    mean = out.mean(axis=1, keepdims=True)
+    std = out.std(axis=1, keepdims=True)
+    return ((out - mean) / std).astype(np.float32)
+
+
 def crop_area(joint_img: np.ndarray, opts: ProcessOptions) -> float:
     """Area of the (aspect-snapped) person bbox after the crop transform —
     the OKS area driving detector-noise radii

@@ -124,9 +124,14 @@ class MultiHeadedAttention(nn.Module):
         b = query.shape[0]
         h = self.num_heads
         d_k = self.d_model // h
+        c = self.d_model
+        # note: packing q/k/v into one [C, 3C] matmul was measured SLOWER
+        # here (strided output slices force relayouts that cost more than
+        # the saved input reads) — XLA handles three separate projections
+        # at near-bandwidth for these shapes
 
         def proj(x, name):
-            y = TorchDense(self.d_model, dtype=self.dtype, name=name)(x)
+            y = TorchDense(c, dtype=self.dtype, name=name)(x)
             return y.reshape(b, -1, h, d_k)
 
         q = proj(query, "linears_0")

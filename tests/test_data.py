@@ -192,3 +192,22 @@ def test_pipeline_iteration_and_mixing(small_assets, synth_setup):
     pipe.set_epoch(1)
     b2 = next(iter(pipe))
     assert not np.allclose(b2["pose2d"], batches[0]["pose2d"])
+
+
+def test_batch_crop_matches_scalar_path(small_assets, rng):
+    """The vectorized input fast path must agree with the per-sample route
+    (rotations and flips included)."""
+    from gator_tpu.data import processing
+    jset = small_assets.joint_set
+    opts = ProcessOptions(input_joint_name="human36", is_train=True)
+    b = 6
+    joints = rng.uniform(50, 900, size=(b, 17, 2)).astype(np.float32)
+    flips = np.array([0, 1, 0, 1, 0, 0])
+    rots = np.array([0.0, 0.0, 15.0, -30.0, 7.5, 0.0], np.float32)
+    batch = processing.batch_crop_and_normalize(
+        joints, jset, opts, flips, rots)
+    for i in range(b):
+        scalar = processing.crop_and_normalize_input(
+            joints[i], jset, opts, np.random.default_rng(0),
+            int(flips[i]), float(rots[i]))
+        np.testing.assert_allclose(batch[i], scalar, atol=2e-4)
