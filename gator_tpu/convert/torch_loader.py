@@ -118,13 +118,23 @@ def _is_buffer(key: str) -> bool:
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a reference .pth.tar and return model_state_dict as numpy."""
+    """Load a reference .pth.tar and return model_state_dict as numpy.
+
+    DataParallel-trained checkpoints carry a `module.` prefix on every key;
+    it is stripped here (the reference does this with check_data_pararell,
+    lib/funcs_utils.py:64-69)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("model_state_dict", ckpt)
-    return {k: v.detach().cpu().numpy()
-            for k, v in state.items() if hasattr(v, "detach")}
+    out = {}
+    for k, v in state.items():
+        if not hasattr(v, "detach"):
+            continue
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v.detach().cpu().numpy()
+    return out
 
 
 def convert_checkpoint(path: str, flax_variables: Dict[str, Any],
