@@ -1,0 +1,71 @@
+"""CLI integration tests: train -> checkpoint -> test round trip on the
+synthetic dataset, and .pth.tar weight loading through the converter."""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from gator_tpu.config import load_config
+
+
+CFG = "configs/gator_synthetic_smoke.yml"
+
+
+@pytest.fixture(scope="module")
+def cfg_path():
+    assert os.path.isfile(CFG)
+    return CFG
+
+
+def test_train_then_test_cli(tmp_path_factory, cfg_path):
+    from gator_tpu.cli.test import main as test_main
+    from gator_tpu.cli.train import main as train_main
+
+    exp = str(tmp_path_factory.mktemp("exp"))
+    err = train_main(["--cfg", cfg_path, "--synthetic", "--epochs", "1",
+                      "--exp_dir", exp])
+    assert np.isfinite(err)
+    assert os.path.isdir(os.path.join(exp, "checkpoint", "best"))
+    assert os.path.isfile(os.path.join(exp, "train_loss.pdf"))
+
+    out = test_main(["--cfg", cfg_path, "--synthetic",
+                     "--weights", os.path.join(exp, "checkpoint")])
+    np.testing.assert_allclose(out["mpjpe"], err, rtol=1e-5)
+
+
+def test_pth_tar_weight_loading(tmp_path, cfg_path, small_assets):
+    """A reference-format .pth.tar (incl. DataParallel 'module.' prefixes)
+    loads through the converter in cli.test's weight loader."""
+    import jax
+    from gator_tpu.cli.test import load_weights
+    from gator_tpu.convert import export_state_dict
+    from gator_tpu.models import GatorSpec, init_gator
+
+    spec = GatorSpec.from_assets(small_assets, embed_dim=64, depth=1)
+    variables = init_gator(spec, jax.random.PRNGKey(3))
+    sd = {f"module.{k}": torch.from_numpy(np.array(v))
+          for k, v in export_state_dict(variables).items()}
+    path = str(tmp_path / "fake.pth.tar")
+    torch.save({"epoch": 7, "model_state_dict": sd}, path)
+
+    loaded = load_weights(path, variables)
+    a = jax.tree_util.tree_leaves(loaded)
+    b = jax.tree_util.tree_leaves(variables)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_training(tmp_path_factory, cfg_path):
+    from gator_tpu.cli.train import main as train_main
+
+    exp = str(tmp_path_factory.mktemp("exp_resume"))
+    train_main(["--cfg", cfg_path, "--synthetic", "--epochs", "1",
+                "--exp_dir", exp])
+    # resume continues from epoch 2
+    err = train_main(["--cfg", cfg_path, "--synthetic", "--epochs", "2",
+                      "--exp_dir", exp, "--resume_training"])
+    assert np.isfinite(err)
+    names = os.listdir(os.path.join(exp, "checkpoint"))
+    assert "final" in names   # epoch 2 == end -> final
