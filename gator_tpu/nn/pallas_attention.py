@@ -29,58 +29,71 @@ except Exception:  # pragma: no cover
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    # block (G, H, N, D): several (batch, head) pairs per grid program to
+    # amortize per-program setup; static loops unroll at compile time
+    g_n, h_n = q_ref.shape[0], q_ref.shape[1]
+    for g in range(g_n):
+        for h in range(h_n):
+            q = q_ref[g, h]
+            k = k_ref[g, h]
+            v = v_ref[g, h]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[g, h] = o.astype(o_ref.dtype)
 
 
 def _kernel_bias(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s = s + b_ref[0].astype(jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    g_n, h_n = q_ref.shape[0], q_ref.shape[1]
+    for g in range(g_n):
+        for h in range(h_n):
+            q = q_ref[g, h]
+            k = k_ref[g, h]
+            v = v_ref[g, h]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + b_ref[h].astype(jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[g, h] = o.astype(o_ref.dtype)
 
 
-def _pallas_forward(q, k, v, bias, scale):
-    # internal layout [B, H, N, D]: blocks (1, 1, N, D) keep the trailing
-    # two dims whole, satisfying the Mosaic tiling constraint
+def _pallas_forward(q, k, v, bias, scale, group: int = 4):
+    # internal layout [B, H, N, D]: blocks (G, H, N, D) keep the trailing
+    # two dims whole (Mosaic tiling constraint) and pack G batch items x
+    # all heads into each grid program
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    qspec = pl.BlockSpec((1, 1, nq, d), lambda i, j: (i, j, 0, 0),
+    while group > 1 and b % group:
+        group //= 2
+    qspec = pl.BlockSpec((group, h, nq, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    kspec = pl.BlockSpec((1, 1, nk, d), lambda i, j: (i, j, 0, 0),
+    kspec = pl.BlockSpec((group, h, nk, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = qspec
     out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
     if bias is None:
         out = pl.pallas_call(
             functools.partial(_kernel, scale=scale),
-            grid=(b, h),
+            grid=(b // group,),
             in_specs=[qspec, kspec, kspec],
             out_specs=ospec,
             out_shape=out_shape,
         )(q, k, v)
     else:
-        bspec = pl.BlockSpec((1, nq, nk), lambda i, j: (j, 0, 0),
+        bspec = pl.BlockSpec((h, nq, nk), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             functools.partial(_kernel_bias, scale=scale),
-            grid=(b, h),
+            grid=(b // group,),
             in_specs=[qspec, kspec, kspec, bspec],
             out_specs=ospec,
             out_shape=out_shape,
