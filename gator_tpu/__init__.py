@@ -12,6 +12,18 @@ Design (vs. the PyTorch reference):
     inside DataLoader workers);
   * multi-chip scaling is data-parallel over a `jax.sharding.Mesh`
     (the reference is single-GPU; see SURVEY.md §2.6).
+
+See docs/PARITY.md for the component-by-component mapping.
 """
 
+from . import (assets, bodymodel, config, losses, metrics, models, ops,
+               parallel, profiling, smoothing, vis)
+from .config import Config, load_config
+
 __version__ = "0.1.0"
+
+__all__ = [
+    "Config", "assets", "bodymodel", "config", "load_config", "losses",
+    "metrics", "models", "ops", "parallel", "profiling", "smoothing",
+    "vis",
+]
