@@ -35,13 +35,13 @@ BATCH = 2048
 L_SHORT, L_LONG = 4, 16
 
 
-def _loop_forward(model, variables, pose, n):
+def _loop_forward(serving_fn, pose, n):
     """n forward passes with a serial dependency; n is a traced scalar so
     both loop lengths share ONE compiled program (remote compiles through
     the relay cost ~1-2 min each)."""
 
     def body(_, p):
-        mesh, _ = model.apply(variables, p, deterministic=True)
+        mesh, _ = serving_fn(p)
         return p + 1e-9 * mesh[:, :p.shape[1], :2].astype(p.dtype)
 
     p = lax.fori_loop(0, n, body, pose)
@@ -56,27 +56,28 @@ def _timed(fn, *args):
 
 def main():
     from gator_tpu.assets import build_assets
-    from gator_tpu.models import GATOR, GatorSpec, init_gator
+    from gator_tpu.models import GatorSpec, init_gator
+    from gator_tpu.serving import make_serving_fn
 
     assets = build_assets("human36", synthetic_vertex_num=6890)
     spec = GatorSpec.from_assets(assets, embed_dim=128, depth=6, alpha=False)
-    # serving configuration: bf16 activations + Pallas fused attention
-    # (params stay f32; eval parity paths run f32 — see README)
     # initialize on host CPU (remote-compiling the init program through the
     # TPU relay costs minutes); transfer params to the chip afterwards
     with jax.default_device(jax.devices("cpu")[0]):
         variables = init_gator(spec, jax.random.PRNGKey(0))
     variables = jax.device_put(variables, jax.devices()[0])
-    model = GATOR(spec=spec, dtype=jnp.bfloat16)
+    # serving configuration: bf16 activations, fully-fused Pallas MDR
+    # layers + fused attention (params stay f32; parity evals run f32)
+    serving_fn = make_serving_fn(spec, variables, dtype=jnp.bfloat16)
     pose = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, 17, 2)), jnp.float32)
 
-    loop = jax.jit(lambda v, p, n: _loop_forward(model, v, p, n))
+    loop = jax.jit(lambda p, n: _loop_forward(serving_fn, p, n))
 
-    _timed(loop, variables, pose, L_SHORT)   # compile + warm
+    _timed(loop, pose, L_SHORT)   # compile + warm
 
-    t_short = min(_timed(loop, variables, pose, L_SHORT) for _ in range(2))
-    t_long = min(_timed(loop, variables, pose, L_LONG) for _ in range(2))
+    t_short = min(_timed(loop, pose, L_SHORT) for _ in range(2))
+    t_long = min(_timed(loop, pose, L_LONG) for _ in range(2))
     per_step = (t_long - t_short) / (L_LONG - L_SHORT)
 
     poses_per_sec = BATCH / per_step

@@ -1,0 +1,210 @@
+"""Fully-fused MDR LBF layer for serving.
+
+One MDR layer = joint->vertex cross-attention block (pre-LN, MLP) +
+std-LayerNorm + vertex self-attention with residual
+(reference: lib/models/MDR.py:139-153). The XLA path executes it as ~25
+separate HBM-resident ops over [B, 448, 64] tensors; this kernel runs the
+ENTIRE layer per G-sample tile inside VMEM — the token block is read from
+HBM once and written once per layer.
+
+Used by `gator_tpu.serving`; the math-identical XLA form (`lbf_layer_xla`)
+is the CPU fallback and the test oracle. Serving is forward-only
+(dropout-free), so no VJP is defined.
+
+Row-wise LayerNorms commute with the verts/joints concat, so the kernel
+never materializes the fused sequence: q comes from the normalized vertex
+rows, k/v from the normalized joint rows.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+# parameter keys of one LBF layer, in pallas_call argument order
+LAYER_PARAM_KEYS = (
+    "norm1_scale", "norm1_bias",
+    "wq", "wk", "wv", "proj_w", "proj_b",
+    "norm2_scale", "norm2_bias",
+    "fc1_w", "fc1_b", "fc2_w", "fc2_b",
+    "a2", "b2",
+    "l0_w", "l0_b", "l1_w", "l1_b", "l2_w", "l2_b", "l3_w", "l3_b",
+)
+
+
+def _ln(x, scale, bias, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _stdln(x, a2, b2, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    n = x.shape[-1]
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).sum(-1, keepdims=True) / (n - 1)
+    return a2 * (x32 - mean) / (jnp.sqrt(var) + eps) + b2
+
+
+def _heads(x, num_heads):
+    return [x[:, h * (x.shape[1] // num_heads):
+              (h + 1) * (x.shape[1] // num_heads)]
+            for h in range(num_heads)]
+
+
+def _layer_math(verts, joints, p, num_heads, dtype):
+    """One LBF layer on [Nv, C] verts + [Nj, C] joints (single sample)."""
+    c = verts.shape[-1]
+    d = c // num_heads
+    scale = d ** -0.5
+
+    def mm(a, w):
+        # Mosaic requires 32-bit matmul accumulation for bf16 operands
+        return jnp.dot(a, w.astype(dtype),
+                       preferred_element_type=jnp.float32).astype(dtype)
+
+    yv = _ln(verts, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    yj = _ln(joints, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    q = mm(yv, p["wq"])
+    k = mm(yj, p["wk"])
+    v = mm(yj, p["wv"])
+    outs = []
+    for qh, kh, vh in zip(_heads(q, num_heads), _heads(k, num_heads),
+                          _heads(v, num_heads)):
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+        outs.append(jnp.dot(prob, vh, preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1).astype(dtype)
+    attn = mm(attn, p["proj_w"]) + p["proj_b"].astype(dtype)
+    x1 = verts.astype(jnp.float32) + attn.astype(jnp.float32)
+
+    y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+    m = jax.nn.gelu(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(dtype))
+    m = mm(m, p["fc2_w"]) + p["fc2_b"].astype(dtype)
+    x2 = x1 + m.astype(jnp.float32)
+
+    y3 = _stdln(x2, p["a2"], p["b2"]).astype(dtype)
+    q2 = mm(y3, p["l0_w"]) + p["l0_b"].astype(dtype)
+    k2 = mm(y3, p["l1_w"]) + p["l1_b"].astype(dtype)
+    v2 = mm(y3, p["l2_w"]) + p["l2_b"].astype(dtype)
+    outs = []
+    for qh, kh, vh in zip(_heads(q2, num_heads), _heads(k2, num_heads),
+                          _heads(v2, num_heads)):
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+        outs.append(jnp.dot(prob, vh, preferred_element_type=jnp.float32))
+    sa = jnp.concatenate(outs, axis=-1).astype(dtype)
+    sa = mm(sa, p["l3_w"]) + p["l3_b"].astype(dtype)
+    return (y3.astype(jnp.float32) + sa.astype(jnp.float32)).astype(dtype)
+
+
+def lbf_layer_xla(verts, joints, params: Dict[str, jnp.ndarray],
+                  num_heads: int) -> jnp.ndarray:
+    """Reference XLA form, batched: verts [B, Nv, C], joints [B, Nj, C]."""
+    dtype = verts.dtype
+    fn = lambda vv, jj: _layer_math(vv, jj, params, num_heads, dtype)
+    return jax.vmap(fn, in_axes=(0, 0))(verts, joints)
+
+
+def _kernel(verts_ref, joints_ref, *rest, num_heads, dtype):
+    p_refs = rest[:-1]
+    out_ref = rest[-1]
+    p = {key: ref[...] for key, ref in zip(LAYER_PARAM_KEYS, p_refs)}
+    g_n = verts_ref.shape[0]
+    for g in range(g_n):
+        out_ref[g] = _layer_math(verts_ref[g], joints_ref[g], p,
+                                 num_heads, dtype)
+
+
+def lbf_layer_fused(verts, joints, params: Dict[str, jnp.ndarray],
+                    num_heads: int, group: int = 8) -> jnp.ndarray:
+    """Pallas form: one grid program per G samples, everything in VMEM."""
+    b, nv, c = verts.shape
+    nj = joints.shape[1]
+    while group > 1 and b % group:
+        group //= 2
+    vspec = pl.BlockSpec((group, nv, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    jspec = pl.BlockSpec((group, nj, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    def _const_map(nd):
+        return lambda i: (0,) * nd
+
+    pspecs = [
+        pl.BlockSpec(params[key].shape, _const_map(params[key].ndim),
+                     memory_space=pltpu.VMEM)
+        for key in LAYER_PARAM_KEYS
+    ]
+    return pl.pallas_call(
+        functools.partial(_kernel, num_heads=num_heads, dtype=verts.dtype),
+        grid=(b // group,),
+        in_specs=[vspec, jspec] + pspecs,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct(verts.shape, verts.dtype),
+    )(verts, joints, *[params[k] for k in LAYER_PARAM_KEYS])
+
+
+def lbf_layer(verts, joints, params: Dict[str, jnp.ndarray],
+              num_heads: int) -> jnp.ndarray:
+    """Platform-dispatched LBF layer (fused on TPU, XLA elsewhere)."""
+    if not _HAVE_PLTPU:
+        return lbf_layer_xla(verts, joints, params, num_heads)
+
+    plist = [params[k] for k in LAYER_PARAM_KEYS]
+
+    def tpu_fn(verts, joints, *plist):
+        p = dict(zip(LAYER_PARAM_KEYS, plist))
+        return lbf_layer_fused(verts, joints, p, num_heads)
+
+    def other_fn(verts, joints, *plist):
+        p = dict(zip(LAYER_PARAM_KEYS, plist))
+        return lbf_layer_xla(verts, joints, p, num_heads)
+
+    return jax.lax.platform_dependent(verts, joints, *plist,
+                                      tpu=tpu_fn, default=other_fn)
+
+
+def extract_layer_params(mdr_params: Dict, layer: int,
+                         dtype=None) -> Dict[str, jnp.ndarray]:
+    """Pull one LBF layer's weights out of the flax param tree (converter
+    naming: encoder[_i], selfatt[_i], norm[_i])."""
+    sfx = "" if layer == 0 else f"_{layer}"
+    enc = mdr_params[f"encoder{sfx}"]
+    sa = mdr_params[f"selfatt{sfx}"]
+    nrm = mdr_params[f"norm{sfx}"]
+
+    def dense(mod):
+        return mod["linear"]["kernel"], mod["linear"]["bias"]
+
+    out = {
+        "norm1_scale": enc["norm1"]["scale"],
+        "norm1_bias": enc["norm1"]["bias"],
+        "wq": enc["attn"]["wq"]["linear"]["kernel"],
+        "wk": enc["attn"]["wk"]["linear"]["kernel"],
+        "wv": enc["attn"]["wv"]["linear"]["kernel"],
+        "norm2_scale": enc["norm2"]["scale"],
+        "norm2_bias": enc["norm2"]["bias"],
+        "a2": nrm["a_2"],
+        "b2": nrm["b_2"],
+    }
+    out["proj_w"], out["proj_b"] = dense(enc["attn"]["proj"])
+    out["fc1_w"], out["fc1_b"] = dense(enc["mlp"]["fc1"])
+    out["fc2_w"], out["fc2_b"] = dense(enc["mlp"]["fc2"])
+    for i in range(4):
+        out[f"l{i}_w"], out[f"l{i}_b"] = dense(sa[f"linears_{i}"])
+    if dtype is not None:
+        out = {k: jnp.asarray(v, dtype) for k, v in out.items()}
+    return out

