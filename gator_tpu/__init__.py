@@ -17,13 +17,13 @@ See docs/PARITY.md for the component-by-component mapping.
 """
 
 from . import (assets, bodymodel, config, losses, metrics, models, ops,
-               parallel, profiling, smoothing, vis)
+               parallel, profiling, serving, smoothing, vis)
 from .config import Config, load_config
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Config", "assets", "bodymodel", "config", "load_config", "losses",
-    "metrics", "models", "ops", "parallel", "profiling", "smoothing",
-    "vis",
+    "metrics", "models", "ops", "parallel", "profiling", "serving",
+    "smoothing", "vis",
 ]
