@@ -109,7 +109,7 @@ class GAT(nn.Module):
         x = GraphLinear(2, 64, dtype=self.dtype, name="GLinear_0")(x)
         x = GroupNormCF(num_groups=64 // 16, num_channels=64,
                         name="GLinear_1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = GraphLinear(64, s.embed_dim, dtype=self.dtype,
                         name="GLinear_3")(x)
         x = x.transpose(0, 2, 1)                             # [B, J, D]
@@ -139,7 +139,7 @@ class GAT(nn.Module):
                              x, bias, deterministic=deterministic)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         pose3d = TorchDense(3 * s.num_joint, dtype=self.dtype,
                             name="lifter")(x.reshape(b, -1))
         return pose3d, x

@@ -200,7 +200,7 @@ class MDR(nn.Module):
             mat_b = nn.BatchNorm(
                 use_running_average=use_running_average, axis=1,
                 momentum=0.9, epsilon=1e-5, name="bias_norm")(mat_b)
-        mat_b = nn.gelu(mat_b)
+        mat_b = nn.gelu(mat_b, approximate=False)
         mat_b = Conv1dLen3(s.coarse_num, s.num_basis, dtype=self.dtype,
                            name="bias_conv1d")(mat_b)        # [B, 20, 3]
         if s.alpha:

@@ -11,12 +11,18 @@ Parity-sensitive pieces (SURVEY.md §7 hard parts):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from . import initializers as tinit
+
+# torch nn.GELU defaults to the exact erf form; flax nn.gelu defaults to the
+# tanh approximation — parity requires exact
+# (reference: lib/models/backbones/modules.py:188 et al.)
+exact_gelu = partial(nn.gelu, approximate=False)
 
 
 class GraphLinear(nn.Module):
@@ -107,7 +113,7 @@ class Mlp(nn.Module):
     out_features: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    act: Callable = nn.gelu
+    act: Callable = exact_gelu
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -131,7 +137,7 @@ class GatMlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = TorchDense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = exact_gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = TorchDense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

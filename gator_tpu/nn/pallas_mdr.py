@@ -91,7 +91,9 @@ def _layer_math(verts, joints, p, num_heads, dtype):
     x1 = verts.astype(jnp.float32) + attn.astype(jnp.float32)
 
     y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
-    m = jax.nn.gelu(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(dtype))
+    # exact (erf) gelu to match torch nn.GELU / the flax model
+    m = jax.nn.gelu(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(dtype),
+                    approximate=False)
     m = mm(m, p["fc2_w"]) + p["fc2_b"].astype(dtype)
     x2 = x1 + m.astype(jnp.float32)
 

@@ -74,7 +74,7 @@ def mdr_serving_forward(spec, params: Dict[str, Any],
                 * jax.lax.rsqrt(var[None, :, None] + 1e-5))
         mat_b = (norm * bn["scale"][None, :, None]
                  + bn["bias"][None, :, None]).astype(dtype)
-    mat_b = jax.nn.gelu(mat_b)
+    mat_b = jax.nn.gelu(mat_b, approximate=False)
     mat_b = conv1d_len3(mat_b, params["bias_conv1d"]["weight"].astype(dtype),
                         params["bias_conv1d"]["bias"].astype(dtype))
     if s.alpha:
