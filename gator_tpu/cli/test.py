@@ -2,19 +2,27 @@
 
 Mirrors main/test.py (reference: main/test.py:1-33): loads weights
 (an orbax checkpoint dir OR a reference .pth.tar, converted on the fly),
-runs the jitted eval loop, then the dataset's final `evaluate` with the
-full metric suite.
+runs the eval loop data-parallel over every visible chip with exact
+per-sample aggregation, then the dataset's final `evaluate` /
+`evaluate_joint` with the full metric suite. `cfg.TEST.vis` dumps every
+10th predicted mesh as .obj (reference: data/PW3D/dataset.py:377-381 —
+whose `n % 10` condition actually dumps 9 of every 10; sampling every
+10th here is the evident intent).
 """
 from __future__ import annotations
 
 import argparse
+import os
+import os.path as osp
 
 import jax
 import numpy as np
 
 from ..config import load_config
 from ..convert import convert_checkpoint
-from ..train import TrainState, load_checkpoint, pick_checkpoint
+from ..parallel import make_mesh, replicate
+from ..train import TrainState, load_checkpoint, pick_checkpoint, run_eval
+from ..vis import save_obj
 from .common import Session
 
 
@@ -26,6 +34,8 @@ def parse_args(argv=None):
                         "(default: cfg.TEST.weight_path)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--vis_dir", type=str, default="./vis_out",
+                   help="output dir for cfg.TEST.vis mesh dumps")
     return p.parse_args(argv)
 
 
@@ -57,30 +67,44 @@ def main(argv=None):
 
     tx = sess.make_optimizer()
     _, eval_step = sess.make_steps(tx)
-    jeval = jax.jit(eval_step)
-    state = TrainState.create(
+    mesh = make_mesh()
+    state = replicate(mesh, TrainState.create(
         {k: jax.tree_util.tree_map(jax.numpy.asarray, v)
-         for k, v in variables.items()}, tx)
+         for k, v in variables.items()}, tx))
 
-    j_errs, s_errs = [], []
-    pred_meshes, gt_meshes = [], []
-    for batch in sess.pipeline:
-        out = jeval(state, batch)
-        j_errs.append(float(out["joint_err"]))
-        if "surface_err" in out:
-            s_errs.append(float(out["surface_err"]))
-            pred_meshes.append(np.asarray(out["pred_mesh_mm"]))
-            gt_meshes.append(np.asarray(batch["mesh"]) * 1000.0)
-    print(f"MPVPE: {np.mean(s_errs):.2f}, MPJPE: {np.mean(j_errs):.2f}"
-          if s_errs else f"MPJPE: {np.mean(j_errs):.2f}")
+    if sess.is_gator:
+        res = run_eval(eval_step, state, sess.pipeline, mesh=mesh,
+                       collect_out=("pred_mesh_mm",),
+                       collect_batch=("mesh",))
+    else:
+        res = run_eval(eval_step, state, sess.pipeline, mesh=mesh,
+                       collect_out=("pred_pose_mm",),
+                       collect_batch=("joint_cam",))
+    if "surface_err" in res:
+        print(f"MPVPE: {res['surface_err']:.2f}, "
+              f"MPJPE: {res['joint_err']:.2f}")
+    else:
+        print(f"MPJPE: {res['joint_err']:.2f}")
 
     # final evaluation with the dataset's full metric suite
     ds = sess.datasets[0]
-    if pred_meshes and hasattr(ds, "evaluate"):
-        pred = np.concatenate(pred_meshes)[:len(ds)]
-        gt = np.concatenate(gt_meshes)[:len(ds)]
+    if sess.is_gator and "pred_mesh_mm" in res and hasattr(ds, "evaluate"):
+        pred = res["pred_mesh_mm"][:len(ds)]
+        gt = res["mesh"][:len(ds)] * 1000.0
+        if cfg.TEST.vis:
+            os.makedirs(args.vis_dir, exist_ok=True)
+            for n in range(0, len(pred), 10):
+                save_obj(pred[n] / 1000.0, sess.assets.faces,
+                         osp.join(args.vis_dir, f"eval_{n:06d}.obj"))
+            print(f"dumped {len(range(0, len(pred), 10))} meshes "
+                  f"to {args.vis_dir}")
         return ds.evaluate(pred, gt)
-    return {"mpjpe": float(np.mean(j_errs))}
+    if not sess.is_gator and "pred_pose_mm" in res \
+            and hasattr(ds, "evaluate_joint"):
+        pred = res["pred_pose_mm"][:len(ds)]
+        gt = res["joint_cam"][:len(ds)]
+        return ds.evaluate_joint(pred, gt)
+    return {"mpjpe": float(res["joint_err"])}
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ import numpy as np
 from ..config import load_config
 from ..parallel import make_mesh, replicate, shard_batch
 from ..train import (TrainState, jit_data_parallel, load_checkpoint,
-                     pick_checkpoint, save_checkpoint)
+                     pick_checkpoint, run_eval, save_checkpoint)
 from ..vis import save_loss_plot
 from .common import Session
 
@@ -101,7 +101,6 @@ def main(argv=None):
     print(f"devices: {jax.device_count()} ({mesh})")
     state = replicate(mesh, state)
     dstep = jit_data_parallel(train_step, mesh)
-    jeval = jax.jit(eval_step)
 
     end_epoch = args.epochs or cfg.TRAIN.end_epoch
     rng = jax.random.PRNGKey(cfg.seed)
@@ -134,15 +133,12 @@ def main(argv=None):
         print(f"epoch {epoch} loss {epoch_loss:.4f} "
               f"({dt:.1f}s, {sps:.0f} samples/s)")
 
-        # eval (reference runs the tester every epoch, main/train.py:41)
-        j_errs, s_errs = [], []
-        for batch in eval_sess.pipeline:
-            out = jeval(state, batch)
-            j_errs.append(float(out["joint_err"]))
-            if "surface_err" in out:
-                s_errs.append(float(out["surface_err"]))
-        j_err = float(np.mean(j_errs)) if j_errs else np.inf
-        s_err = float(np.mean(s_errs)) if s_errs else np.inf
+        # eval, data-parallel over the same mesh with exact per-sample
+        # aggregation (reference runs the tester every epoch with running
+        # sums: main/train.py:41, lib/core/base.py:224-230)
+        res = run_eval(eval_step, state, eval_sess.pipeline, mesh=mesh)
+        j_err = float(res.get("joint_err", np.inf))
+        s_err = float(res.get("surface_err", np.inf))
         error_history["joint"].append(j_err)
         error_history["surface"].append(s_err)
         print(f"epoch {epoch} MPJPE: {j_err:.2f}  MPVPE: {s_err:.2f}")

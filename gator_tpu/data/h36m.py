@@ -225,3 +225,35 @@ class Human36M(SmplPoseDataset):
                 print(line)
             print(f"SMPL MPJPE: {smpl_mpjpe:.2f}  MPVPE: {mpvpe:.2f}")
         return out
+
+    def evaluate_joint(self, pred_joint_mm: np.ndarray,
+                       gt_joint_mm: np.ndarray,
+                       verbose: bool = True) -> Dict[str, float]:
+        """Stage-1 (GAT lifter) final evaluation: root-aligned MPJPE and
+        PA-MPJPE over the 14 eval joints, no camera filter, batched
+        Procrustes on device (reference: dataset.py:480-513 evaluate_joint
+        — per-sample numpy rigid_align loop there); per-action breakdown
+        printed in the same format as `evaluate`."""
+        from .. import metrics as jm
+        import jax.numpy as jnp
+
+        ej = list(self.joint_set.eval_joints)
+        p = (pred_joint_mm - pred_joint_mm[:, :1])[:, ej]
+        g = (gt_joint_mm - gt_joint_mm[:, :1])[:, ej]
+        per_joint = np.sqrt(((p - g) ** 2).sum(-1))
+        aligned = np.asarray(jm.procrustes_align(
+            jnp.asarray(p), jnp.asarray(g)))
+        pa_per_joint = np.sqrt(((aligned - g) ** 2).sum(-1))
+        out = {"mpjpe": float(per_joint.mean()),
+               "pa_mpjpe": float(pa_per_joint.mean())}
+        if verbose:
+            actions = self.table.meta["action_idx"] - 2
+            for label, arr in (("MPJPE", per_joint),
+                               ("PA-MPJPE", pa_per_joint)):
+                line = f"{label} (mm)    >> tot: {arr.mean():.2f}\n"
+                for a, aname in enumerate(ACTION_NAMES):
+                    mask = actions[:len(arr)] == a
+                    if mask.any():
+                        line += f"{aname}: {arr[mask].mean():.2f} "
+                print(line)
+        return out

@@ -21,9 +21,13 @@ def root_align(x, root_idx: int = 0):
 
 
 def mpjpe(pred, gt, eval_joints: Optional[Sequence[int]] = None,
-          root_idx: int = 0, align: bool = True):
+          root_idx: int = 0, align: bool = True,
+          per_sample: bool = False):
     """Mean per-joint position error; root-aligned, joint-subset selected
-    (reference: Human36M/dataset.py:455-478)."""
+    (reference: Human36M/dataset.py:455-478). per_sample=True returns the
+    [B] per-sample means so the caller can aggregate exactly over ragged
+    batches (reference accumulates running sums, lib/core/base.py:224-230).
+    """
     if align:
         pred = root_align(pred, root_idx)
         gt = root_align(gt, root_idx)
@@ -31,7 +35,8 @@ def mpjpe(pred, gt, eval_joints: Optional[Sequence[int]] = None,
         idx = jnp.asarray(list(eval_joints))
         pred = pred[:, idx]
         gt = gt[:, idx]
-    return jnp.sqrt(((pred - gt) ** 2).sum(-1)).mean()
+    err = jnp.sqrt(((pred - gt) ** 2).sum(-1)).mean(-1)
+    return err if per_sample else err.mean()
 
 
 def per_sample_joint_error(pred, gt):
@@ -87,12 +92,14 @@ def pa_mpjpe(pred, gt, eval_joints: Optional[Sequence[int]] = None,
     return jnp.sqrt(((aligned - gt) ** 2).sum(-1)).mean()
 
 
-def mpvpe(pred_mesh, gt_mesh, pred_root, gt_root):
+def mpvpe(pred_mesh, gt_mesh, pred_root, gt_root,
+          per_sample: bool = False):
     """Mesh vertex error after root-joint alignment; roots are [B, 1, 3]
     (reference: compute_both_err, Human36M/dataset.py:466-478)."""
     pred = pred_mesh - pred_root
     gt = gt_mesh - gt_root
-    return jnp.sqrt(((pred - gt) ** 2).sum(-1)).mean()
+    err = jnp.sqrt(((pred - gt) ** 2).sum(-1)).mean(-1)
+    return err if per_sample else err.mean()
 
 
 def compute_errors(gt3ds, preds):

@@ -57,6 +57,27 @@ def _stdln(x, a2, b2, eps=1e-6):
     return a2 * (x32 - mean) / (jnp.sqrt(var) + eps) + b2
 
 
+def _erf(x):
+    """erf via the Abramowitz–Stegun 7.1.26 rational approximation (max abs
+    error 1.5e-7): Mosaic has no erf/erfc primitive, and the serving path is
+    bf16 (eps ~8e-3) so this is exact for all practical purposes."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf-form) gelu, matching torch nn.GELU / the flax model."""
+    x32 = x.astype(jnp.float32)
+    return (0.5 * x32 * (1.0 + _erf(x32 * 0.7071067811865476))).astype(
+        x.dtype)
+
+
 def _heads(x, num_heads):
     return [x[:, h * (x.shape[1] // num_heads):
               (h + 1) * (x.shape[1] // num_heads)]
@@ -91,9 +112,7 @@ def _layer_math(verts, joints, p, num_heads, dtype):
     x1 = verts.astype(jnp.float32) + attn.astype(jnp.float32)
 
     y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
-    # exact (erf) gelu to match torch nn.GELU / the flax model
-    m = jax.nn.gelu(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(dtype),
-                    approximate=False)
+    m = _gelu_exact(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(dtype))
     m = mm(m, p["fc2_w"]) + p["fc2_b"].astype(dtype)
     x2 = x1 + m.astype(jnp.float32)
 

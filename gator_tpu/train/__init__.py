@@ -1,4 +1,5 @@
 from .checkpoint import load_checkpoint, pick_checkpoint, save_checkpoint
+from .evaluate import run_eval
 from .loop import (jit_data_parallel, make_gat_eval_step,
                    make_gat_train_step, make_gator_eval_step,
                    make_gator_train_step)
@@ -9,5 +10,5 @@ __all__ = [
     "TrainState", "jit_data_parallel", "load_checkpoint",
     "make_gat_eval_step", "make_gat_train_step", "make_gator_eval_step",
     "make_gator_train_step", "make_optimizer", "multistep_lr",
-    "pick_checkpoint", "save_checkpoint",
+    "pick_checkpoint", "run_eval", "save_checkpoint",
 ]

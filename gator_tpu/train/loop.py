@@ -84,9 +84,11 @@ def make_gator_eval_step(
     eval_joints,
     dtype=jnp.float32,
 ) -> Callable:
-    """Per-batch eval: returns summed joint/surface errors + per-sample
-    predictions, matching compute_both_err semantics
-    (reference: Human36M/dataset.py:466-478, driven at base.py:214-230)."""
+    """Per-batch eval: returns PER-SAMPLE joint/surface errors [B] plus
+    per-sample predictions, matching compute_both_err semantics
+    (reference: Human36M/dataset.py:466-478). The caller aggregates exact
+    sums/counts over batches — the reference accumulates running sums, not
+    means of batch means (reference: lib/core/base.py:224-230)."""
     model = GATOR(spec=spec, dtype=dtype)
     j_reg = jnp.asarray(j_regressor_target)
     eval_idx = tuple(eval_joints) if eval_joints is not None else None
@@ -105,8 +107,10 @@ def make_gator_eval_step(
         gt_pose = batch["reg_pose3d"]
         # root-align mesh by joint roots, joints by their own roots
         s_err = metrics.mpvpe(mesh_mm, gt_mesh_mm,
-                              pred_pose[:, :1], gt_pose[:, :1])
-        j_err = metrics.mpjpe(pred_pose, gt_pose, eval_joints=eval_idx)
+                              pred_pose[:, :1], gt_pose[:, :1],
+                              per_sample=True)
+        j_err = metrics.mpjpe(pred_pose, gt_pose, eval_joints=eval_idx,
+                              per_sample=True)
         return {"joint_err": j_err, "surface_err": s_err,
                 "pred_mesh_mm": mesh_mm, "pred_pose_mm": pred_pose}
 
@@ -155,7 +159,7 @@ def make_gat_eval_step(spec: GatSpec, eval_joints,
             deterministic=True)
         pose3d = pose3d.reshape(-1, spec.num_joint, 3)
         err = metrics.mpjpe(pose3d, batch["joint_cam"],
-                            eval_joints=eval_idx)
+                            eval_joints=eval_idx, per_sample=True)
         return {"joint_err": err, "pred_pose_mm": pose3d}
 
     return step

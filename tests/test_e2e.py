@@ -46,8 +46,9 @@ def test_end_to_end_training_improves(small_assets):
     eval_pipe = BatchPipeline([eval_ds], synth, batch_size=16,
                               shuffle=False, stage="gator", prefetch=0)
     errs = [estep(state, b) for b in eval_pipe]
-    j = np.mean([float(e["joint_err"]) for e in errs])
-    s = np.mean([float(e["surface_err"]) for e in errs])
+    j = np.mean(np.concatenate([np.asarray(e["joint_err"]) for e in errs]))
+    s = np.mean(np.concatenate([np.asarray(e["surface_err"])
+                                for e in errs]))
     assert np.isfinite(j) and np.isfinite(s)
     # synthetic bodies are near the template; a briefly-trained model must
     # already be in a sane error range (mm), not diverging

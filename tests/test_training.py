@@ -67,8 +67,9 @@ def test_gator_eval_step(small_assets, gator_setup, rng):
         small_assets.joint_set.eval_joints))
     batch = _synthetic_batch(small_assets, rng)
     out = estep(state, batch)
-    assert np.isfinite(float(out["joint_err"]))
-    assert np.isfinite(float(out["surface_err"]))
+    assert out["joint_err"].shape == (8,)   # per-sample errors
+    assert np.isfinite(np.asarray(out["joint_err"])).all()
+    assert np.isfinite(np.asarray(out["surface_err"])).all()
     assert out["pred_mesh_mm"].shape == (8, small_assets.vertex_num, 3)
 
 
