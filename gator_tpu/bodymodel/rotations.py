@@ -39,20 +39,53 @@ def axis_angle_to_rotmat(axisang: jnp.ndarray) -> jnp.ndarray:
     return quat_to_rotmat(quat)
 
 
-def rotmat_to_axis_angle(rot: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] rotation matrices -> [..., 3] axis-angle vectors.
+def rotmat_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] -> [..., 4] (w, x, y, z), branch-complete Shepperd
+    extraction: the largest of {trace, r00, r11, r22} selects the branch,
+    so the angle-pi neighborhood (trace -> -1, where the trace-only branch
+    loses all precision) is exact. Camera-rotated H36M root poses routinely
+    sit near pi (subject facing away from the camera)."""
+    r00, r11, r22 = rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]
+    r01, r02 = rot[..., 0, 1], rot[..., 0, 2]
+    r10, r12 = rot[..., 1, 0], rot[..., 1, 2]
+    r20, r21 = rot[..., 2, 0], rot[..., 2, 1]
+    t = r00 + r11 + r22
 
-    Via quaternion extraction (Shepperd's method restricted to the
-    trace-positive branch with clamping — adequate for camera/root poses,
-    which stay away from the angle-pi singularity). Used to re-encode the
+    def _clamped_sqrt(v):
+        return jnp.sqrt(jnp.maximum(v, 1e-12))
+
+    s0 = 2.0 * _clamped_sqrt(1.0 + t)                     # = 4w
+    q0 = jnp.stack([0.25 * s0, (r21 - r12) / s0,
+                    (r02 - r20) / s0, (r10 - r01) / s0], axis=-1)
+    s1 = 2.0 * _clamped_sqrt(1.0 + r00 - r11 - r22)       # = 4x
+    q1 = jnp.stack([(r21 - r12) / s1, 0.25 * s1,
+                    (r01 + r10) / s1, (r02 + r20) / s1], axis=-1)
+    s2 = 2.0 * _clamped_sqrt(1.0 - r00 + r11 - r22)       # = 4y
+    q2 = jnp.stack([(r02 - r20) / s2, (r01 + r10) / s2,
+                    0.25 * s2, (r12 + r21) / s2], axis=-1)
+    s3 = 2.0 * _clamped_sqrt(1.0 - r00 - r11 + r22)       # = 4z
+    q3 = jnp.stack([(r10 - r01) / s3, (r02 + r20) / s3,
+                    (r12 + r21) / s3, 0.25 * s3], axis=-1)
+
+    # pick the numerically largest pivot
+    diag_q = jnp.where(
+        ((r00 > r11) & (r00 > r22))[..., None], q1,
+        jnp.where((r11 > r22)[..., None], q2, q3))
+    q = jnp.where((t > 0.0)[..., None], q0, diag_q)
+    # q and -q encode the same rotation; canonicalize to w >= 0 so the
+    # recovered angle lands in [0, pi]
+    q = jnp.where(q[..., :1] < 0.0, -q, q)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def rotmat_to_axis_angle(rot: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] rotation matrices -> [..., 3] axis-angle, angle in
+    [0, pi]. Branch-complete (see rotmat_to_quat). Used to re-encode the
     camera-rotated SMPL root pose (the reference does this per sample with
     transforms3d on the host — Human36M/dataset.py:268-274)."""
-    t = rot[..., 0, 0] + rot[..., 1, 1] + rot[..., 2, 2]
-    w = 0.5 * jnp.sqrt(jnp.maximum(1.0 + t, 1e-12))
-    x = (rot[..., 2, 1] - rot[..., 1, 2]) / (4 * w)
-    y = (rot[..., 0, 2] - rot[..., 2, 0]) / (4 * w)
-    z = (rot[..., 1, 0] - rot[..., 0, 1]) / (4 * w)
-    xyz = jnp.stack([x, y, z], axis=-1)
+    q = rotmat_to_quat(rot)
+    w = q[..., 0]
+    xyz = q[..., 1:]
     norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
     angle = 2.0 * jnp.arctan2(norm[..., 0], w)
     axis = xyz / jnp.maximum(norm, 1e-12)

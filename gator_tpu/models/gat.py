@@ -115,12 +115,12 @@ class GAT(nn.Module):
         x = x.transpose(0, 2, 1)                             # [B, J, D]
 
         # joint-id + degree embeddings (reference: lib/models/GAT.py:141-144)
-        pos_id_table = self.param(
+        pos_id_table = tinit.pin_row0(self.param(
             "pos_id_embed", tinit.embedding_padded0,
-            (s.num_joint + 1, s.embed_dim))
-        pos_num_table = self.param(
+            (s.num_joint + 1, s.embed_dim)))
+        pos_num_table = tinit.pin_row0(self.param(
             "pos_num_embed", tinit.embedding_padded0,
-            (s.num_joint, s.embed_dim))
+            (s.num_joint, s.embed_dim)))
         ids = jnp.arange(1, s.num_joint + 1)
         x = x + pos_id_table[ids].astype(self.dtype)
         degree = jnp.asarray(s.degree)

@@ -155,10 +155,12 @@ class MDR(nn.Module):
         verts_feat = TorchDense(s.embed_dim, dtype=self.dtype,
                                 name="get_verts_feature")(verts_feat)
 
-        pos_j = self.param("pos_j_id_embed", tinit.embedding_padded0,
-                           (s.num_joint + 1, s.embed_dim))
-        pos_v = self.param("pos_v_id_embed", tinit.embedding_padded0,
-                           (s.coarse_num + 1, s.embed_dim))
+        pos_j = tinit.pin_row0(self.param(
+            "pos_j_id_embed", tinit.embedding_padded0,
+            (s.num_joint + 1, s.embed_dim)))
+        pos_v = tinit.pin_row0(self.param(
+            "pos_v_id_embed", tinit.embedding_padded0,
+            (s.coarse_num + 1, s.embed_dim)))
         joint_feat = joint_feat + pos_j[jnp.arange(1, s.num_joint + 1)
                                         ].astype(self.dtype)
         verts_feat = verts_feat + pos_v[jnp.arange(1, s.coarse_num + 1)

@@ -98,10 +98,11 @@ class HopPathEncoding(nn.Module):
         d = self.edge_input.shape[-1]
         h = self.num_heads
 
-        spatial_table = self.param(
+        spatial_table = tinit.pin_row0(self.param(
             "spatial_pos_encoder", tinit.embedding_padded0,
-            (self.num_spatial, h))
-        # [J, J] indices -> [J, J, H] -> [H, J, J]
+            (self.num_spatial, h)))
+        # [J, J] indices -> [J, J, H] -> [H, J, J]; row 0 IS indexed (the
+        # hop-0 diagonal), so without the pin it would drift under training
         spatial_bias = spatial_table[jnp.asarray(self.spatial_pos)]
         spatial_bias = spatial_bias.transpose(2, 0, 1).astype(self.dtype)
 

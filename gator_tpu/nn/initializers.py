@@ -45,6 +45,15 @@ def embedding_padded0(key, shape, dtype=jnp.float32):
     return emb.at[0].set(0.0)
 
 
+def pin_row0(table):
+    """torch padding_idx=0 *training* semantics: row 0 is pinned to zero
+    forever — torch zeroes its gradient (so it never moves off the zero
+    init); re-zeroing before lookup gives the identical forward AND a zero
+    gradient to row 0 (reference: lib/models/backbones/modules.py:94,
+    lib/models/GAT.py:54,73, lib/models/MDR.py:92-93)."""
+    return jnp.asarray(table).at[0].set(0.0)
+
+
 def uniform_pm(bound: float):
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
