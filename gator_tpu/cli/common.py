@@ -22,6 +22,7 @@ from ..models import GatSpec, GatorSpec, init_gat, init_gator
 from ..train import (TrainState, make_gat_eval_step, make_gat_train_step,
                      make_gator_eval_step, make_gator_train_step,
                      make_optimizer, multistep_lr)
+from ..train.schedule import ReduceLROnPlateau
 
 
 def resolve_data_dirs(cfg: Config) -> List[str]:
@@ -121,7 +122,21 @@ class Session:
         return init_gat(self.spec, rng)
 
     def make_optimizer(self):
+        """Honors cfg.TRAIN.scheduler: 'step' -> MultiStepLR baked into the
+        optax schedule; 'platue' [sic, reference spelling] -> injected-lr
+        optimizer + host-side ReduceLROnPlateau controller exposed as
+        self.plateau (reference: lib/funcs_utils.py:100-107)."""
         cfg = self.cfg
+        self.plateau = None
+        if cfg.TRAIN.scheduler in ("platue", "plateau"):
+            self.plateau = ReduceLROnPlateau(cfg.TRAIN.lr,
+                                             cfg.TRAIN.lr_factor)
+            return make_optimizer(cfg.TRAIN.optimizer, cfg.TRAIN.lr,
+                                  inject=True)
+        if cfg.TRAIN.scheduler != "step":
+            raise ValueError(
+                f"unknown cfg.TRAIN.scheduler {cfg.TRAIN.scheduler!r} "
+                "(expected 'step' or 'platue')")
         steps_per_epoch = max(1, len(self.pipeline))
         sched = multistep_lr(cfg.TRAIN.lr, cfg.TRAIN.lr_step,
                              cfg.TRAIN.lr_factor, steps_per_epoch)

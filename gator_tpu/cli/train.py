@@ -20,6 +20,7 @@ from ..config import load_config
 from ..parallel import make_mesh, replicate, shard_batch
 from ..train import (TrainState, jit_data_parallel, load_checkpoint,
                      pick_checkpoint, run_eval, save_checkpoint)
+from ..train.schedule import set_learning_rate
 from ..vis import save_loss_plot
 from .common import Session
 
@@ -95,6 +96,9 @@ def main(argv=None):
         loss_history = list(restored.get("train_log", []))
         error_history = {k: list(v) for k, v in
                          restored.get("test_log", error_history).items()}
+        if getattr(sess, "plateau", None) and restored.get("scheduler"):
+            sess.plateau.load_state_dict(
+                {k: float(v) for k, v in restored["scheduler"].items()})
         print(f"resumed from epoch {begin_epoch - 1}")
 
     mesh = make_mesh()
@@ -145,11 +149,21 @@ def main(argv=None):
         if wandb_run is not None:
             wandb_run.log({"error/MPJPE": j_err, "error/MPVPE": s_err})
 
+        # plateau scheduler steps on the eval metric
+        # (reference: lib/funcs_utils.py:106-107 via cfg.TRAIN.scheduler)
+        if getattr(sess, "plateau", None) is not None:
+            new_lr = sess.plateau.update(j_err)
+            state = set_learning_rate(state, new_lr)
+            print(f"plateau lr: {new_lr:g}")
+
         is_best = j_err < best_joint_err
         best_joint_err = min(best_joint_err, j_err)
         save_checkpoint(ckpt_dir, state, epoch, loss_history,
                         error_history, is_best=is_best,
-                        is_final=(epoch == end_epoch))
+                        is_final=(epoch == end_epoch),
+                        scheduler_state=(sess.plateau.state_dict()
+                                         if getattr(sess, "plateau", None)
+                                         else None))
         save_loss_plot(loss_history, osp.join(exp_dir, "train_loss.pdf"))
     print(f"done; best joint error {best_joint_err:.2f}")
     return best_joint_err

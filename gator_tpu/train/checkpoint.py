@@ -24,8 +24,11 @@ def _checkpointer():
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
                     train_log=None, test_log=None, is_best: bool = False,
-                    is_final: bool = False) -> str:
-    """Write checkpoint{epoch} (or final); also best/ on improvement."""
+                    is_final: bool = False, scheduler_state=None) -> str:
+    """Write checkpoint{epoch} (or final); also best/ on improvement.
+    scheduler_state: optional plateau-controller dict (mirrors the
+    reference persisting scheduler_state_dict, lib/funcs_utils.py:110-118).
+    """
     os.makedirs(ckpt_dir, exist_ok=True)
     payload = {
         "epoch": np.asarray(epoch),
@@ -36,6 +39,9 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
             "opt_state": jax.device_get(state.opt_state),
         },
     }
+    if scheduler_state:
+        payload["scheduler"] = {k: np.asarray(v)
+                                for k, v in scheduler_state.items()}
     # orbax rejects zero-size arrays; only persist non-empty histories
     if train_log:
         payload["train_log"] = np.asarray(train_log, dtype=np.float64)
