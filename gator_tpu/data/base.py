@@ -201,18 +201,21 @@ class SmplPoseDataset:
 
 
 def mixed_epoch_indices(lengths, rng: np.random.Generator) -> np.ndarray:
-    """MultipleDatasets(make_same_len=True) semantics: epoch length =
-    max_len * n_dbs; each slot draws a uniform random dataset, index =
-    (slot_in_db + random offset) % len(db)
+    """MultipleDatasets(make_same_len=True) semantics, exactly: epoch
+    length = max_len * n_dbs; each slot draws a uniform random dataset;
+    data index = (slot % max_len) % len(db), EXCEPT in the modular tail
+    (slot positions beyond len(db) * (max_len // len(db))) which resamples
+    uniformly — preserving the reference's per-epoch coverage property
+    (every sample of every db appears ~max_len/len(db) times per epoch)
     (reference: data/multiple_datasets.py:22-29)."""
+    lengths = np.asarray(lengths, np.int64)
     n_dbs = len(lengths)
-    max_len = max(lengths)
+    max_len = int(lengths.max())
     total = max_len * n_dbs
     db_choice = rng.integers(0, n_dbs, size=total)
-    offsets = rng.integers(0, np.iinfo(np.int32).max, size=total)
-    out = np.empty((total, 2), np.int64)
-    out[:, 0] = db_choice
-    for k in range(total):
-        d = db_choice[k]
-        out[k, 1] = (k // n_dbs + offsets[k]) % lengths[d]
-    return out
+    slot = np.arange(total, dtype=np.int64) % max_len
+    db_len = lengths[db_choice]
+    cutoff = db_len * (max_len // db_len)
+    resampled = rng.integers(0, db_len)           # vectorized per-slot draw
+    data_idx = np.where(slot >= cutoff, resampled, slot % db_len)
+    return np.stack([db_choice, data_idx], axis=1)

@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..assets.bundle import GatorAssets
-from . import augment, processing
+from . import augment, coords, processing
 from .base import GENDERS
 from .gt_synth import GtSynthesizer
 
@@ -81,12 +81,19 @@ class PW3D:
         images = {img["id"]: img for img in db["images"]}
         gender_code = {"neutral": 0, "female": 1, "male": 2,
                        "f": 1, "m": 2}
+        h, w = self.opts.input_shape
+        aspect = w / h
         rows = []
         for ann in db["annotations"]:
             img = images[ann["image_id"]]
             smpl_param = ann["smpl_param"]
             cam = {k: np.array(v, np.float32)
                    for k, v in img["cam_param"].items()}
+            # bbox sanity filter: skip annotations whose bbox can't be
+            # processed (reference: PW3D/dataset.py:135-136)
+            if "bbox" in ann and coords.process_bbox(
+                    np.array(ann["bbox"], np.float32), aspect) is None:
+                continue
             custom = det.get(str(ann["id"]))
             if custom is None:
                 continue

@@ -4,10 +4,11 @@ Covers the reference's vis surface (reference: lib/vis.py, demo/renderer.py,
 lib/funcs_utils.py:51-57): 2D keypoint overlays (cv2), 3D pose plots
 (matplotlib), Wavefront .obj export, and a software mesh renderer.
 
-The reference renders with pyrender/EGL; that stack is optional here — the
-built-in `render_mesh_overlay` is a dependency-free z-buffer rasterizer
-(weak-perspective camera, Lambertian shading) good enough for demo PNGs,
-and pyrender is used instead when importable.
+The reference renders with pyrender/EGL; both backends exist here:
+`render_mesh_overlay_pyrender` mirrors the reference's offscreen EGL path
+(used automatically when pyrender+trimesh import), and the dependency-free
+software z-buffer rasterizer (weak-perspective camera, Lambertian shading)
+is the fallback and the test-covered default in this environment.
 """
 from __future__ import annotations
 
@@ -83,13 +84,88 @@ def save_loss_plot(values, path: str, title: str = "Train Loss"):
     plt.close(fig)
 
 
+def pyrender_available() -> bool:
+    try:
+        import pyrender  # noqa: F401
+        import trimesh   # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def render_mesh_overlay_pyrender(img: np.ndarray, verts: np.ndarray,
+                                 faces: np.ndarray, orig_cam: np.ndarray,
+                                 color=(0.65, 0.74, 0.86)) -> np.ndarray:
+    """Hardware-rendered overlay via pyrender, mirroring the reference's
+    offscreen EGL path: weak-perspective projection matrix
+    diag(sx, sy, -1) with [tx*sx, -ty*sy] translation, a 180-deg X flip of
+    the mesh, two 45-deg directional lights, RGBA render composited over
+    the image where depth > 0 (reference: demo/renderer.py:13-115).
+    Requires pyrender + trimesh; call pyrender_available() first or use
+    render_mesh_overlay(backend='auto')."""
+    import os as _os
+    _os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+    import pyrender
+    import trimesh
+    from pyrender.constants import RenderFlags
+
+    h, w = img.shape[:2]
+    sx, sy, tx, ty = (float(v) for v in orig_cam)
+
+    class _WeakPerspectiveCamera(pyrender.Camera):
+        def get_projection_matrix(self, width=None, height=None):
+            p = np.eye(4)
+            p[0, 0] = sx
+            p[1, 1] = sy
+            p[0, 3] = tx * sx
+            p[1, 3] = -ty * sy
+            p[2, 2] = -1
+            return p
+
+    mesh = trimesh.Trimesh(vertices=np.asarray(verts, np.float64),
+                           faces=np.asarray(faces), process=False)
+    mesh.apply_transform(trimesh.transformations.rotation_matrix(
+        np.pi, [1, 0, 0]))
+    scene = pyrender.Scene(bg_color=[0.0, 0.0, 0.0, 0.0],
+                           ambient_light=(0.3, 0.3, 0.3))
+    light = pyrender.DirectionalLight(color=[1.0, 1.0, 1.0], intensity=1.2)
+    scene.add(light, pose=trimesh.transformations.rotation_matrix(
+        np.radians(-45), [1, 0, 0]))
+    scene.add(light, pose=trimesh.transformations.rotation_matrix(
+        np.radians(45), [0, 1, 0]))
+    material = pyrender.MetallicRoughnessMaterial(
+        metallicFactor=0.0, alphaMode="OPAQUE", baseColorFactor=color)
+    scene.add(pyrender.Mesh.from_trimesh(mesh, material=material), "mesh")
+    scene.add(_WeakPerspectiveCamera(znear=pyrender.camera.DEFAULT_Z_NEAR,
+                                     zfar=1000.0), pose=np.eye(4))
+    renderer = pyrender.OffscreenRenderer(viewport_width=w,
+                                          viewport_height=h, point_size=1.0)
+    try:
+        rgb, depth = renderer.render(scene, flags=RenderFlags.RGBA)
+    finally:
+        renderer.delete()
+    mask = (depth > 0)[:, :, None]
+    out = rgb[:, :, :3] * mask + (1 - mask) * img
+    return out.astype(np.uint8)
+
+
 def render_mesh_overlay(img: np.ndarray, verts: np.ndarray,
                         faces: np.ndarray, orig_cam: np.ndarray,
-                        color=(0.65, 0.74, 0.86)) -> np.ndarray:
-    """Software z-buffer render of a mesh over an image with a
-    weak-perspective NDC camera [sx, sy, tx, ty] (same camera convention as
-    the reference's pyrender path — demo/renderer.py:13-35).
-    """
+                        color=(0.65, 0.74, 0.86),
+                        backend: str = "auto") -> np.ndarray:
+    """Mesh-over-image render with a weak-perspective NDC camera
+    [sx, sy, tx, ty] (same camera convention as the reference's pyrender
+    path — demo/renderer.py:13-35).
+
+    backend: 'auto' uses pyrender when importable (the reference's
+    renderer), otherwise the dependency-free software z-buffer rasterizer;
+    'pyrender' / 'software' force one."""
+    if backend not in ("auto", "pyrender", "software"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend == "pyrender" or (backend == "auto" and
+                                 pyrender_available()):
+        return render_mesh_overlay_pyrender(img, verts, faces, orig_cam,
+                                            color)
     h, w = img.shape[:2]
     sx, sy, tx, ty = orig_cam
     # NDC -> pixels

@@ -1,6 +1,8 @@
 """Camera fitting, visualization, and fused-attention fallback tests."""
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -104,3 +106,24 @@ def test_step_timer():
         t.tick()
     assert t.mean_step_time >= 0
     assert t.throughput(64) >= 0
+
+
+def test_render_backend_dispatch(rng):
+    """backend='auto' falls back to the software rasterizer when pyrender
+    is absent; forcing 'pyrender' without the package raises."""
+    from gator_tpu import vis
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    verts = rng.normal(0, 0.3, (20, 3)).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    cam = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+    soft = vis.render_mesh_overlay(img, verts, faces, cam,
+                                   backend="software")
+    auto = vis.render_mesh_overlay(img, verts, faces, cam, backend="auto")
+    if not vis.pyrender_available():
+        np.testing.assert_array_equal(soft, auto)
+        with pytest.raises(Exception):
+            vis.render_mesh_overlay(img, verts, faces, cam,
+                                    backend="pyrender")
+    with pytest.raises(ValueError):
+        vis.render_mesh_overlay(img, verts, faces, cam, backend="nope")

@@ -156,3 +156,48 @@ def test_pw3d_gt_input_uses_projected_joints(tmp_path, small_assets_coco,
     b_det = ds_det.make_batch(np.arange(2), synth_c,
                               np.random.default_rng(0))
     assert not np.allclose(b_gt["pose2d"], b_det["pose2d"])
+
+
+def test_pw3d_bbox_sanity_filter(tmp_path, small_assets_coco):
+    """Annotations whose bbox fails process_bbox are skipped
+    (reference: PW3D/dataset.py:135-136)."""
+    _write_pw3d_fixture(str(tmp_path))
+    path = os.path.join(str(tmp_path), "PW3D", "data",
+                        "3DPW_latest_test.json")
+    db = json.load(open(path))
+    db["annotations"][2]["bbox"] = [100.0, 100.0, 0.0, 0.0]  # degenerate
+    db["annotations"][4]["bbox"] = [100.0, 100.0, -5.0, 30.0]
+    json.dump(db, open(path, "w"))
+    opts = ProcessOptions(input_joint_name="coco", use_gt_input=False)
+    ds = PW3D(small_assets_coco, opts, str(tmp_path), "test")
+    assert len(ds) == 4
+
+
+def test_mixed_epoch_indices_reference_semantics():
+    """make_same_len sampler: modular slots map deterministically
+    (slot % len(db)), only the tail resamples — preserving per-epoch
+    coverage (reference: data/multiple_datasets.py:22-29)."""
+    from gator_tpu.data.base import mixed_epoch_indices
+
+    lengths = [10, 4]
+    rng = np.random.default_rng(0)
+    idx = mixed_epoch_indices(lengths, rng)
+    assert idx.shape == (20, 2)
+    max_len = 10
+    for k, (d, i) in enumerate(idx):
+        L = lengths[d]
+        slot = k % max_len
+        cutoff = L * (max_len // L)
+        if slot < cutoff:
+            assert i == slot % L, (k, d, i)   # modular, not random-offset
+        assert 0 <= i < L
+    # coverage: over many epochs every sample of the small db appears
+    counts = np.zeros(4)
+    for e in range(200):
+        for d, i in mixed_epoch_indices(lengths,
+                                        np.random.default_rng(e)):
+            if d == 1:
+                counts[i] += 1
+    assert counts.min() > 0
+    # modular structure makes coverage near-uniform
+    assert counts.max() / counts.min() < 1.3
