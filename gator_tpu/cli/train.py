@@ -70,8 +70,7 @@ def main(argv=None):
             print(f"wandb disabled ({exc})")
 
     tx = sess.make_optimizer()
-    train_step, _ = sess.make_steps(tx)
-    _, eval_step = sess.make_steps(tx)
+    train_step, eval_step = sess.make_steps(tx)
     variables = sess.init_variables()
 
     # stage-2 init from a pretrained stage-1 lifter

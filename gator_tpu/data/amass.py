@@ -15,7 +15,8 @@ from typing import Dict
 import numpy as np
 
 from ..assets.bundle import GatorAssets
-from . import augment, processing
+from . import processing
+from .base import assemble_batch
 from .gt_synth import GtSynthesizer
 
 # the four fixed H36M camera rotations (reference: AMASS/dataset.py:100-104)
@@ -118,42 +119,17 @@ class AmassDataset:
         h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
 
         opts = self.opts
-        jset = self.joint_set
-        out = {k: [] for k in ("pose2d", "mesh", "lift_pose3d",
-                               "reg_pose3d", "mesh_valid", "reg_valid",
-                               "lift_valid", "joint_cam", "joint_valid")}
-        for row in range(n):
-            flip, rot = augment.augm_params(
-                opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
-            mesh_rel = mesh_mm[row] - h36m_cam[row][:1]
-            cc = coco_cam[row] - coco_cam[row][-2:-1]
-            jh = h36m_cam[row] - h36m_cam[row][:1]
-            if opts.input_joint_name == "coco":
-                joint_img, joint_cam = coco_img[row][:, :2], cc
-            else:
-                xy = (h36m_cam[row][:, :2] / h36m_cam[row][:, 2:3]
-                      * FOCAL + PRINCPT)
-                joint_img, joint_cam = xy.astype(np.float32), jh
-            area = (processing.crop_area(joint_img, opts)
-                    if not opts.use_gt_input
-                    and opts.input_joint_name == "coco" else None)
-            pose2d = processing.crop_and_normalize_input(
-                joint_img, jset, opts, rng, flip, rot,
-                coco_noise_area=area)
-            out["pose2d"].append(pose2d)
-            if stage == "gator":
-                tgt = processing.gator_targets(
-                    mesh_rel, joint_cam, jh, 0.0, opts, flip, rot, jset)
-                for k, v in tgt.items():
-                    out[k].append(v)
-            else:
-                jc = augment.j3d_processing(joint_cam, rot, flip,
-                                            jset.flip_pairs)
-                out["joint_cam"].append(jc)
-                out["joint_valid"].append(
-                    np.ones((len(jc), 1), np.float32))
-        keys = (("pose2d", "mesh", "lift_pose3d", "reg_pose3d",
-                 "mesh_valid", "reg_valid", "lift_valid")
-                if stage == "gator" else
-                ("pose2d", "joint_cam", "joint_valid"))
-        return {k: np.stack(out[k]) for k in keys}
+        mesh_rel = mesh_mm - h36m_cam[:, :1]
+        cc = coco_cam - coco_cam[:, -2:-1]
+        jh = h36m_cam - h36m_cam[:, :1]
+        if opts.input_joint_name == "coco":
+            joint_img_b, joint_cam_b = coco_img[:, :, :2], cc
+        else:
+            xy = (h36m_cam[..., :2] / h36m_cam[..., 2:3]
+                  * FOCAL[None, None] + PRINCPT[None, None])
+            joint_img_b, joint_cam_b = xy.astype(np.float32), jh
+        # mocap GT is exact: no fitting filter (reference keeps all samples)
+        return assemble_batch(
+            opts, self.joint_set, rng, stage,
+            mesh_rel=mesh_rel, joint_img_b=joint_img_b,
+            joint_cam_b=joint_cam_b, reg_pose=jh, fit_err=None)

@@ -101,18 +101,8 @@ class SmplPoseDataset:
 
     def _assemble(self, idx, mesh_mm, coco_cam, coco_img, fit_err, rng,
                   stage) -> Dict[str, np.ndarray]:
-        from .augment import augm_params
-
         t = self.table
         opts = self.opts
-        jset = self.joint_set
-        b = len(idx)
-        flips = np.zeros(b, np.int64)
-        rots = np.zeros(b, np.float32)
-        for row in range(b):
-            flips[row], rots[row] = augm_params(
-                opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
-
         # vectorized root-relativization (reference: dataset.py:352-356)
         jc_h36m = t.joint_cam_h36m[idx]
         mesh_rel = mesh_mm - jc_h36m[:, :1]
@@ -122,82 +112,129 @@ class SmplPoseDataset:
             joint_img_b, joint_cam_b = coco_img[:, :, :2], cc
         else:
             joint_img_b, joint_cam_b = t.joint_img_h36m[idx], jh
+        is_coco = opts.input_joint_name == "coco"
+        return assemble_batch(
+            opts, self.joint_set, rng, stage,
+            mesh_rel=mesh_rel, joint_img_b=joint_img_b,
+            joint_cam_b=joint_cam_b, reg_pose=jh, fit_err=fit_err,
+            detected_pose=(self.detected_pose[idx]
+                           if self.detected_pose is not None else None),
+            h36m_stats=self._h36m_stats,
+            bad_zero_gator=("mesh", "lift") if is_coco else ("mesh",),
+            bad_zero_gat=is_coco)
 
-        # input assembly: vectorized fast path unless per-sample detector
-        # replacement / COCO noise synthesis is needed
-        scalar_path = (not opts.use_gt_input) and (
-            (not opts.is_train and self.detected_pose is not None)
-            or (opts.is_train and opts.input_joint_name == "coco"))
-        if scalar_path:
-            pose2d = np.stack([
-                processing.crop_and_normalize_input(
-                    joint_img_b[row], jset, opts, rng, int(flips[row]),
-                    float(rots[row]),
-                    detected_pose=(self.detected_pose[i]
-                                   if not opts.is_train
-                                   and self.detected_pose is not None
-                                   else None),
-                    coco_noise_area=(processing.crop_area(
-                        joint_img_b[row], opts)
-                        if opts.is_train
-                        and opts.input_joint_name == "coco" else None))
-                for row, i in enumerate(idx)])
-        else:
-            noise = None
-            if not opts.use_gt_input and opts.is_train \
-                    and opts.input_joint_name == "human36":
-                noise = np.stack([
-                    noise_mod.generate_h36m_syn_error(self._h36m_stats, rng)
-                    for _ in range(b)])
-                noise = noise / 256.0 * np.array(
-                    [opts.input_shape[1], opts.input_shape[0]], np.float32)
-            pose2d = processing.batch_crop_and_normalize(
-                joint_img_b.astype(np.float32), jset, opts, flips, rots,
-                h36m_noise=noise)
 
-        # vectorized 3D-target augmentation (augment.j3d_processing math)
-        def batch_j3d(s):
-            rad = -rots * np.pi / 180.0
-            cs, sn = np.cos(rad), np.sin(rad)
-            x = cs[:, None] * s[..., 0] - sn[:, None] * s[..., 1]
-            y = sn[:, None] * s[..., 0] + cs[:, None] * s[..., 1]
-            out = np.stack([x, y, s[..., 2]], axis=-1)
-            if flips.any():
-                fl = out.copy()
-                pairs = np.asarray(jset.flip_pairs)
-                if len(pairs):
-                    tmp = fl[:, pairs[:, 0]].copy()
-                    fl[:, pairs[:, 0]] = fl[:, pairs[:, 1]]
-                    fl[:, pairs[:, 1]] = tmp
-                fl[..., 0] = -fl[..., 0]
-                out = np.where(flips[:, None, None].astype(bool), fl, out)
-            return out.astype(np.float32)
+def assemble_batch(
+    opts: processing.ProcessOptions,
+    jset: JointSet,
+    rng: np.random.Generator,
+    stage: str,
+    *,
+    mesh_rel: np.ndarray,        # [B, V, 3] root-relative mesh, mm
+    joint_img_b: np.ndarray,     # [B, J, 2] input pixel joints
+    joint_cam_b: np.ndarray,     # [B, J, 3] root-relative lift target, mm
+    reg_pose: np.ndarray,        # [B, 17, 3] root-relative h36m target, mm
+    fit_err: Optional[np.ndarray] = None,     # [B] or None (all good)
+    detected_pose: Optional[np.ndarray] = None,   # [B, J, 3] test dets
+    h36m_stats: Optional[np.ndarray] = None,
+    bad_zero_gator=("mesh",),    # masks zeroed on a bad fit (gator stage)
+    bad_zero_gat: bool = False,  # zero joint_valid on a bad fit (gat stage)
+) -> Dict[str, np.ndarray]:
+    """Vectorized batch assembly shared by every dataset (the reference
+    runs all of this per sample in DataLoader workers —
+    Human36M/dataset.py:339-419 and the equivalents in COCO/MuCo/AMASS).
 
-        bad = fit_err > opts.fitting_thr
-        if stage == "gator":
-            v = mesh_rel.shape[1]
-            mesh_valid = np.ones((b, v, 1), np.float32)
+    Everything is batched numpy except two inherently per-sample input
+    paths: detector replacement and the COCO detector-noise simulator."""
+    from .augment import augm_params
+
+    b = len(joint_img_b)
+    flips = np.zeros(b, np.int64)
+    rots = np.zeros(b, np.float32)
+    for row in range(b):
+        flips[row], rots[row] = augm_params(
+            opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
+
+    # input assembly: vectorized fast path unless per-sample detector
+    # replacement / COCO noise synthesis is needed
+    scalar_path = (not opts.use_gt_input) and (
+        (not opts.is_train and detected_pose is not None)
+        or (opts.is_train and opts.input_joint_name == "coco"))
+    if scalar_path:
+        pose2d = np.stack([
+            processing.crop_and_normalize_input(
+                joint_img_b[row], jset, opts, rng, int(flips[row]),
+                float(rots[row]),
+                detected_pose=(detected_pose[row]
+                               if not opts.is_train
+                               and detected_pose is not None else None),
+                coco_noise_area=(processing.crop_area(
+                    joint_img_b[row], opts)
+                    if opts.is_train
+                    and opts.input_joint_name == "coco" else None))
+            for row in range(b)])
+    else:
+        noise = None
+        if not opts.use_gt_input and opts.is_train \
+                and opts.input_joint_name == "human36" \
+                and h36m_stats is not None:
+            noise = np.stack([
+                noise_mod.generate_h36m_syn_error(h36m_stats, rng)
+                for _ in range(b)])
+            noise = noise / 256.0 * np.array(
+                [opts.input_shape[1], opts.input_shape[0]], np.float32)
+        pose2d = processing.batch_crop_and_normalize(
+            joint_img_b.astype(np.float32), jset, opts, flips, rots,
+            h36m_noise=noise)
+
+    # vectorized 3D-target augmentation (augment.j3d_processing math)
+    def batch_j3d(s):
+        rad = -rots * np.pi / 180.0
+        cs, sn = np.cos(rad), np.sin(rad)
+        x = cs[:, None] * s[..., 0] - sn[:, None] * s[..., 1]
+        y = sn[:, None] * s[..., 0] + cs[:, None] * s[..., 1]
+        out = np.stack([x, y, s[..., 2]], axis=-1)
+        if flips.any():
+            fl = out.copy()
+            pairs = np.asarray(jset.flip_pairs)
+            if len(pairs):
+                tmp = fl[:, pairs[:, 0]].copy()
+                fl[:, pairs[:, 0]] = fl[:, pairs[:, 1]]
+                fl[:, pairs[:, 1]] = tmp
+            fl[..., 0] = -fl[..., 0]
+            out = np.where(flips[:, None, None].astype(bool), fl, out)
+        return out.astype(np.float32)
+
+    bad = (fit_err > opts.fitting_thr if fit_err is not None
+           else np.zeros(b, bool))
+    if stage == "gator":
+        v = mesh_rel.shape[1]
+        mesh_valid = np.ones((b, v, 1), np.float32)
+        reg_valid = np.ones((b, 17, 1), np.float32)
+        lift_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
+        if "mesh" in bad_zero_gator:
             mesh_valid[bad] = 0
-            lift_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
-            if opts.input_joint_name == "coco":
-                lift_valid[bad] = 0
-            return {
-                "pose2d": pose2d,
-                "mesh": (mesh_rel / 1000.0).astype(np.float32),
-                "lift_pose3d": batch_j3d(joint_cam_b),
-                "reg_pose3d": jh.astype(np.float32),
-                "mesh_valid": mesh_valid,
-                "reg_valid": np.ones((b, 17, 1), np.float32),
-                "lift_valid": lift_valid,
-            }
-        joint_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
-        if opts.input_joint_name == "coco":
-            joint_valid[bad] = 0
+        if "reg" in bad_zero_gator:
+            reg_valid[bad] = 0
+        if "lift" in bad_zero_gator:
+            lift_valid[bad] = 0
         return {
             "pose2d": pose2d,
-            "joint_cam": batch_j3d(joint_cam_b),
-            "joint_valid": joint_valid,
+            "mesh": (mesh_rel / 1000.0).astype(np.float32),
+            "lift_pose3d": batch_j3d(joint_cam_b),
+            "reg_pose3d": reg_pose.astype(np.float32),
+            "mesh_valid": mesh_valid,
+            "reg_valid": reg_valid,
+            "lift_valid": lift_valid,
         }
+    joint_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
+    if bad_zero_gat:
+        joint_valid[bad] = 0
+    return {
+        "pose2d": pose2d,
+        "joint_cam": batch_j3d(joint_cam_b),
+        "joint_valid": joint_valid,
+    }
 
 
 def mixed_epoch_indices(lengths, rng: np.random.Generator) -> np.ndarray:

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..assets.bundle import GatorAssets
 from . import augment, coords, processing
+from .base import assemble_batch
 from .gt_synth import GtSynthesizer
 
 
@@ -128,46 +129,18 @@ class CocoDataset:
         coco_cam, coco_img = np.asarray(coco_cam), np.asarray(coco_img)
         h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
 
-        opts = self.opts
-        jset = self.joint_set
-        out = {k: [] for k in ("pose2d", "mesh", "lift_pose3d",
-                               "reg_pose3d", "mesh_valid", "reg_valid",
-                               "lift_valid", "joint_cam", "joint_valid")}
-        for row, i in enumerate(idx):
-            flip, rot = augment.augm_params(
-                opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
-            mesh_rel = mesh_mm[row] - h36m_cam[row][:1]
-            cc = coco_cam[row] - coco_cam[row][-2:-1]
-            jh = h36m_cam[row] - h36m_cam[row][:1]
-            joint_img = coco_img[row][:, :2]  # always coco input here
-
-            err = self._fitting_error_2d(
-                t.bbox[i], t.joint_img[i], t.joint_valid[i],
-                coco_img[row][:17])
-            area = (processing.crop_area(joint_img, opts)
-                    if not opts.use_gt_input else None)
-            pose2d = processing.crop_and_normalize_input(
-                joint_img, jset, opts, rng, flip, rot,
-                coco_noise_area=area)
-            out["pose2d"].append(pose2d)
-            bad = err > self.fitting_thr
-            if stage == "gator":
-                tgt = processing.gator_targets(
-                    mesh_rel, cc, jh, 0.0, opts, flip, rot, jset)
-                if bad:  # COCO zeroes ALL validity masks (dataset.py:270)
-                    tgt["mesh_valid"][:] = 0
-                    tgt["reg_valid"][:] = 0
-                    tgt["lift_valid"][:] = 0
-                for k, v in tgt.items():
-                    out[k].append(v)
-            else:
-                jc = augment.j3d_processing(cc, rot, flip, jset.flip_pairs)
-                valid = np.zeros((len(jc), 1), np.float32) if bad else \
-                    np.ones((len(jc), 1), np.float32)
-                out["joint_cam"].append(jc)
-                out["joint_valid"].append(valid)
-        keys = (("pose2d", "mesh", "lift_pose3d", "reg_pose3d",
-                 "mesh_valid", "reg_valid", "lift_valid")
-                if stage == "gator" else
-                ("pose2d", "joint_cam", "joint_valid"))
-        return {k: np.stack(out[k]) for k in keys}
+        mesh_rel = mesh_mm - h36m_cam[:, :1]
+        cc = coco_cam - coco_cam[:, -2:-1]
+        jh = h36m_cam - h36m_cam[:, :1]
+        # 2D reprojection fitting filter stays per-sample (bbox-dependent
+        # affine); everything else is batched
+        fit_err = np.array([
+            self._fitting_error_2d(t.bbox[i], t.joint_img[i],
+                                   t.joint_valid[i], coco_img[row][:17])
+            for row, i in enumerate(idx)], np.float32)
+        # COCO zeroes ALL validity masks on a bad fit (dataset.py:270)
+        return assemble_batch(
+            self.opts, self.joint_set, rng, stage,
+            mesh_rel=mesh_rel, joint_img_b=coco_img[:, :, :2],
+            joint_cam_b=cc, reg_pose=jh, fit_err=fit_err,
+            bad_zero_gator=("mesh", "reg", "lift"), bad_zero_gat=True)

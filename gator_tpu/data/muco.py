@@ -19,7 +19,8 @@ from typing import Dict
 import numpy as np
 
 from ..assets.bundle import GatorAssets
-from . import augment, coords, processing
+from . import coords, processing
+from .base import assemble_batch
 from .gt_synth import GtSynthesizer
 
 MUCO_JOINTS_NAME = (
@@ -118,15 +119,17 @@ class MucoDataset:
     def __len__(self):
         return len(self.table)
 
-    def _fitting_error(self, muco_joint, mesh_mm):
-        """Translation-aligned error on muco->h36m transferred joints
-        (reference: MuCo/dataset.py:246-262)."""
-        rel = muco_joint - muco_joint[MUCO_ROOT_IDX:MUCO_ROOT_IDX + 1]
+    def _fitting_error_batch(self, muco_joints, mesh_mm):
+        """Translation-aligned error on muco->h36m transferred joints,
+        batched (reference: MuCo/dataset.py:246-262)."""
+        rel = muco_joints - muco_joints[:, MUCO_ROOT_IDX:MUCO_ROOT_IDX + 1]
         mask = self._h36m_from_muco >= 0
-        h36m_gt = rel[self._h36m_from_muco[mask]]
-        reg = (self.assets.j_regressor_h36m @ mesh_mm)[mask]
-        reg = reg - reg.mean(0) + h36m_gt.mean(0)
-        return float(np.sqrt(((h36m_gt - reg) ** 2).sum(1)).mean())
+        h36m_gt = rel[:, self._h36m_from_muco[mask]]
+        reg = np.einsum("jv,bvc->bjc", self.assets.j_regressor_h36m,
+                        mesh_mm)[:, mask]
+        reg = reg - reg.mean(1, keepdims=True) + h36m_gt.mean(
+            1, keepdims=True)
+        return np.sqrt(((h36m_gt - reg) ** 2).sum(-1)).mean(-1)
 
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,
@@ -142,49 +145,20 @@ class MucoDataset:
         h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
 
         opts = self.opts
-        jset = self.joint_set
-        out = {k: [] for k in ("pose2d", "mesh", "lift_pose3d",
-                               "reg_pose3d", "mesh_valid", "reg_valid",
-                               "lift_valid", "joint_cam", "joint_valid")}
-        for row, i in enumerate(idx):
-            flip, rot = augment.augm_params(
-                opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
-            mesh_rel = mesh_mm[row] - h36m_cam[row][:1]
-            cc = coco_cam[row] - coco_cam[row][-2:-1]
-            jh = h36m_cam[row] - h36m_cam[row][:1]
-            if opts.input_joint_name == "coco":
-                joint_img, joint_cam = coco_img[row][:, :2], cc
-            else:
-                # h36m input: project regressed h36m joints
-                ji = coords.cam2pixel(h36m_cam[row], t.focal[i],
-                                      t.princpt[i])[:, :2]
-                joint_img, joint_cam = ji.astype(np.float32), jh
-            err = self._fitting_error(t.joint_cam_muco[i], mesh_mm[row])
-            area = (processing.crop_area(joint_img, opts)
-                    if not opts.use_gt_input
-                    and opts.input_joint_name == "coco" else None)
-            pose2d = processing.crop_and_normalize_input(
-                joint_img, jset, opts, rng, flip, rot,
-                coco_noise_area=area)
-            out["pose2d"].append(pose2d)
-            bad = err > self.fitting_thr
-            if stage == "gator":
-                tgt = processing.gator_targets(
-                    mesh_rel, joint_cam, jh, 0.0, opts, flip, rot, jset)
-                if bad:  # MuCo zeroes all masks (dataset.py:316-319)
-                    tgt["mesh_valid"][:] = 0
-                    tgt["reg_valid"][:] = 0
-                    tgt["lift_valid"][:] = 0
-                for k, v in tgt.items():
-                    out[k].append(v)
-            else:
-                jc = augment.j3d_processing(joint_cam, rot, flip,
-                                            jset.flip_pairs)
-                out["joint_cam"].append(jc)
-                out["joint_valid"].append(
-                    np.ones((len(jc), 1), np.float32))
-        keys = (("pose2d", "mesh", "lift_pose3d", "reg_pose3d",
-                 "mesh_valid", "reg_valid", "lift_valid")
-                if stage == "gator" else
-                ("pose2d", "joint_cam", "joint_valid"))
-        return {k: np.stack(out[k]) for k in keys}
+        mesh_rel = mesh_mm - h36m_cam[:, :1]
+        cc = coco_cam - coco_cam[:, -2:-1]
+        jh = h36m_cam - h36m_cam[:, :1]
+        if opts.input_joint_name == "coco":
+            joint_img_b, joint_cam_b = coco_img[:, :, :2], cc
+        else:
+            # h36m input: project regressed h36m joints (batched cam2pixel)
+            ji = (h36m_cam[..., :2] / h36m_cam[..., 2:3]
+                  * t.focal[idx][:, None, :] + t.princpt[idx][:, None, :])
+            joint_img_b, joint_cam_b = ji.astype(np.float32), jh
+        fit_err = self._fitting_error_batch(t.joint_cam_muco[idx], mesh_mm)
+        # MuCo zeroes ALL masks on a bad fit (reference: dataset.py:316-319)
+        return assemble_batch(
+            opts, self.joint_set, rng, stage,
+            mesh_rel=mesh_rel, joint_img_b=joint_img_b,
+            joint_cam_b=joint_cam_b, reg_pose=jh, fit_err=fit_err,
+            bad_zero_gator=("mesh", "reg", "lift"), bad_zero_gat=False)
