@@ -1,22 +1,35 @@
-"""Benchmark: batched pose->mesh inference throughput on one chip.
+"""Benchmark: batched pose->mesh throughput + latency + train-step rate.
 
-Prints ONE JSON line:
+Prints ONE JSON line. Headline metric (driver contract):
   {"metric": "poses_per_sec_per_chip", "value": N, "unit": "poses/s",
-   "vs_baseline": N / 10000}
+   "vs_baseline": N / 10000, ...extras}
 Baseline = the BASELINE.json north-star target of 10k poses/sec/chip batched
 inference (the reference publishes no throughput numbers — SURVEY.md §6).
 
-Methodology: the iteration loop runs on device inside one jitted lax.scan
-with a serial dependency between iterations, synced by fetching a scalar;
-per-step time is the difference between a long and a short scan, which
-cancels dispatch/transfer overhead (this box reaches the TPU through a
-relay with ~30 ms round-trip latency, so naive per-dispatch timing and
-`block_until_ready` are unreliable).
+Extra keys in the same JSON object:
+  p50_latency_ms          — median single-pose (B=1) pose->mesh step time,
+                            BASELINE.json's "p50 pose→mesh latency" metric
+  train_poses_per_sec     — full stage-2 GATOR train step (fwd+bwd+adam,
+                            BatchNorm stats, all five loss terms) at B=512
+  host_batch_poses_per_sec — input-pipeline supply rate: BatchPipeline
+                            batch assembly + on-the-fly GT mesh synthesis
+                            (SMPL on the host CPU backend) at B=2048
+  spread                  — relative spread (max-min)/median of the repeated
+                            headline per-step measurements; watch it for
+                            noisy-measurement regressions
+
+Methodology: every device timing runs the iteration loop on device inside
+one jitted lax.fori_loop with a serial dependency between iterations,
+synced by fetching a scalar; per-step time is the difference between a
+long and a short loop, which cancels dispatch/transfer overhead (this box
+reaches the TPU through a relay with ~30 ms round-trip latency, so naive
+per-dispatch timing and `block_until_ready` are unreliable).
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 import jax
@@ -32,6 +45,7 @@ import numpy as np
 from jax import lax
 
 BATCH = 2048
+TRAIN_BATCH = 512
 L_SHORT, L_LONG = 4, 16
 
 
@@ -54,10 +68,110 @@ def _timed(fn, *args):
     return time.perf_counter() - t0
 
 
+def _per_step(loop, *args, l_short=L_SHORT, l_long=L_LONG, repeats=2):
+    t_short = min(_timed(loop, *args, l_short) for _ in range(repeats))
+    t_long = min(_timed(loop, *args, l_long) for _ in range(repeats))
+    return (t_long - t_short) / (l_long - l_short)
+
+
+def bench_serving(spec, variables):
+    from gator_tpu.serving import make_serving_fn
+
+    serving_fn = make_serving_fn(spec, variables, dtype=jnp.bfloat16)
+    loop = jax.jit(lambda p, n: _loop_forward(serving_fn, p, n))
+
+    pose = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, 17, 2)), jnp.float32)
+    _timed(loop, pose, L_SHORT)   # compile + warm
+
+    steps = [_per_step(loop, pose) for _ in range(3)]
+    per_step = min(steps)
+    spread = (max(steps) - min(steps)) / statistics.median(steps)
+
+    # single-pose latency: same two-length trick at B=1, median of repeats
+    pose1 = pose[:1]
+    _timed(loop, pose1, 16)       # compile + warm (new batch shape)
+    lat = statistics.median(
+        _per_step(loop, pose1, l_short=16, l_long=64) for _ in range(5))
+    return BATCH / per_step, lat * 1e3, spread
+
+
+def bench_train(spec, variables, faces, j_regressor):
+    """Full stage-2 train step (reference hot loop: lib/core/base.py:122-183)
+    on synthetic tensors of the real training shapes."""
+    import optax
+
+    from gator_tpu import losses
+    from gator_tpu.train import TrainState
+    from gator_tpu.train.loop import make_gator_train_step
+
+    tx = optax.adam(1e-4)
+    step = make_gator_train_step(
+        spec, faces, j_regressor, losses.LossWeights(), tx)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = TrainState.create(
+            jax.tree_util.tree_map(np.asarray, dict(variables)), tx)
+    state = jax.device_put(state, jax.devices()[0])
+
+    b, j, v = TRAIN_BATCH, spec.gat.num_joint, spec.mdr.full_num
+    rng = np.random.default_rng(1)
+    batch = {
+        "pose2d": rng.normal(size=(b, j, 2)).astype(np.float32),
+        "mesh": rng.normal(size=(b, v, 3)).astype(np.float32) * 0.1,
+        "lift_pose3d": rng.normal(size=(b, j, 3)).astype(np.float32) * 100,
+        "reg_pose3d": rng.normal(size=(b, 17, 3)).astype(np.float32) * 100,
+        "mesh_valid": np.ones((b, v, 1), np.float32),
+        "lift_valid": np.ones((b, j, 1), np.float32),
+        "reg_valid": np.ones((b, 17, 1), np.float32),
+    }
+    batch = jax.device_put({k: jnp.asarray(x) for k, x in batch.items()},
+                           jax.devices()[0])
+    key = jax.random.PRNGKey(0)
+    edge_on = jnp.asarray(1.0)
+
+    def loop(st, n):
+        def body(_, s):
+            s, _m = step(s, batch, key, edge_on)
+            return s
+        st = lax.fori_loop(0, n, body, st)
+        return jax.tree_util.tree_leaves(st.params)[0].ravel()[0]
+
+    jloop = jax.jit(loop)
+    _timed(jloop, state, 2)       # compile + warm
+    per_step = _per_step(jloop, state, l_short=2, l_long=8)
+    return TRAIN_BATCH / per_step
+
+
+def bench_host_pipeline(assets):
+    """Input-pipeline supply rate: batch assembly + GT synthesis with the
+    SMPL layer pinned to the host CPU backend (in training the synthesis
+    runs on the accelerator; this measures the host side feeding it)."""
+    from gator_tpu.data import processing
+    from gator_tpu.data.gt_synth import GtSynthesizer
+    from gator_tpu.data.pipeline import BatchPipeline
+    from gator_tpu.data.synthetic import SyntheticDataset
+
+    n = 2 * BATCH
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        synth = GtSynthesizer(assets)
+        opts = processing.ProcessOptions(is_train=True)
+        ds = SyntheticDataset(assets, opts, n=n, seed=0, synthesizer=synth)
+        pipe = BatchPipeline([ds], synth, BATCH, shuffle=True, seed=0,
+                             stage="gator", drop_last=True, prefetch=0)
+        for batch in pipe:          # warm (jit the synth programs)
+            break
+        t0 = time.perf_counter()
+        count = 0
+        for batch in pipe:
+            count += batch["pose2d"].shape[0]
+        dt = time.perf_counter() - t0
+    return count / dt
+
+
 def main():
     from gator_tpu.assets import build_assets
     from gator_tpu.models import GatorSpec, init_gator
-    from gator_tpu.serving import make_serving_fn
 
     assets = build_assets("human36", synthetic_vertex_num=6890)
     spec = GatorSpec.from_assets(assets, embed_dim=128, depth=6, alpha=False)
@@ -66,26 +180,21 @@ def main():
     with jax.default_device(jax.devices("cpu")[0]):
         variables = init_gator(spec, jax.random.PRNGKey(0))
     variables = jax.device_put(variables, jax.devices()[0])
-    # serving configuration: bf16 activations, fully-fused Pallas MDR
-    # layers + fused attention (params stay f32; parity evals run f32)
-    serving_fn = make_serving_fn(spec, variables, dtype=jnp.bfloat16)
-    pose = jnp.asarray(
-        np.random.default_rng(0).normal(size=(BATCH, 17, 2)), jnp.float32)
 
-    loop = jax.jit(lambda p, n: _loop_forward(serving_fn, p, n))
+    poses_per_sec, p50_ms, spread = bench_serving(spec, variables)
+    train_pps = bench_train(spec, variables, assets.faces,
+                            assets.j_regressor_h36m)
+    host_pps = bench_host_pipeline(assets)
 
-    _timed(loop, pose, L_SHORT)   # compile + warm
-
-    t_short = min(_timed(loop, pose, L_SHORT) for _ in range(2))
-    t_long = min(_timed(loop, pose, L_LONG) for _ in range(2))
-    per_step = (t_long - t_short) / (L_LONG - L_SHORT)
-
-    poses_per_sec = BATCH / per_step
     print(json.dumps({
         "metric": "poses_per_sec_per_chip",
         "value": round(poses_per_sec, 1),
         "unit": "poses/s",
         "vs_baseline": round(poses_per_sec / 10000.0, 3),
+        "p50_latency_ms": round(p50_ms, 3),
+        "train_poses_per_sec": round(train_pps, 1),
+        "host_batch_poses_per_sec": round(host_pps, 1),
+        "spread": round(spread, 4),
     }))
 
 
