@@ -1,0 +1,307 @@
+"""Fully-fused GAT block for serving.
+
+One GAT block = `x + XFeat(Attn(LN(x), bias) + MGCN(LN(x)))` then
+`x + MLP(LN(x))` (reference: lib/models/GAT.py:16-43). The XLA path runs it
+as ~30 small HBM-resident ops over [B, 17, 128] tensors whose 17-row joint
+axis underfills TPU tiles; this kernel flattens the joint axis into the
+batch axis ([B*17, 128] tiles of G samples = G*17 rows) so every linear is
+one well-filled MXU matmul, and rewrites the per-sample graph operators as
+block-diagonal matmuls on the tile:
+
+  * attention: per-head scores over the whole [G*17, G*17] tile with an
+    off-block -inf mask — cross-sample entries softmax to exactly 0, and
+    the hop/path bias rides in on the same block-diagonal constant;
+  * MGCN: the `adj*eye` term is a row scale by the tiled adjacency
+    diagonal; the off-diagonal term is one block-diag(adj_off) matmul;
+  * X_Feat: the two hop-ring masks become block-diagonal 0/1 matmuls, and
+    the 144->128 projection is split (128+16 rows) to avoid a lane-dim
+    concat.
+
+Per block the token tile is read from HBM once and written once. Used by
+`gator_tpu.serving`; the math-identical XLA form (`gat_block_xla`) is the
+CPU fallback and the test oracle. Serving is forward-only (dropout and
+drop-path are identity), so no VJP is defined.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .pallas_mdr import _gelu_exact, _ln
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+# per-block parameter keys, in pallas_call argument order
+BLOCK_PARAM_KEYS = (
+    "norm1_scale", "norm1_bias",
+    "qkv_w", "qkv_b", "proj_w", "proj_b",
+    "gcn_w0", "gcn_w1", "gcn_m", "gcn_adj_diag", "gcn_adj_off", "gcn_b",
+    "x0_w", "x0_b", "x1_w", "x1_b", "back_w0", "back_w1", "back_b",
+    "norm2_scale", "norm2_bias",
+    "fc1_w", "fc1_b", "fc2_w", "fc2_b",
+)
+
+
+def extract_block_params(gat_params: Dict, i: int,
+                         adjacency: np.ndarray) -> Dict[str, jnp.ndarray]:
+    """Pull one GAT block's weights out of the flax param tree and fold the
+    static adjacency into the learned residual: adj = sym(A + adj2), split
+    into its diagonal and off-diagonal parts
+    (reference: lib/models/backbones/modules.py:243-249)."""
+    blk = gat_params[f"blocks_{i}"]
+
+    def dense(mod):
+        return mod["linear"]["kernel"], mod["linear"]["bias"]
+
+    gcn = blk["gcn"]
+    j = adjacency.shape[0]
+    adj = jnp.asarray(adjacency, jnp.float32) + gcn["adj2"].astype(
+        jnp.float32)
+    adj = (adj.T + adj) / 2
+    eye = jnp.eye(j, dtype=jnp.float32)
+
+    out = {
+        "norm1_scale": blk["norm1"]["scale"],
+        "norm1_bias": blk["norm1"]["bias"],
+        "gcn_w0": gcn["W"][0], "gcn_w1": gcn["W"][1],
+        "gcn_m": gcn["M"],
+        "gcn_adj_diag": jnp.diagonal(adj)[:, None],      # [J, 1]
+        "gcn_adj_off": adj * (1 - eye),                  # [J, J]
+        "gcn_b": gcn["bias"],
+        "norm2_scale": blk["norm2"]["scale"],
+        "norm2_bias": blk["norm2"]["bias"],
+    }
+    out["qkv_w"], out["qkv_b"] = dense(blk["attn"]["qkv"])
+    out["proj_w"], out["proj_b"] = dense(blk["attn"]["proj"])
+    out["x0_w"], out["x0_b"] = dense(blk["x_feat"]["linears_0"])
+    out["x1_w"], out["x1_b"] = dense(blk["x_feat"]["linears_1"])
+    back_w, out["back_b"] = dense(blk["x_feat"]["linearback"])
+    c = out["x0_w"].shape[1]
+    out["back_w0"], out["back_w1"] = back_w[:c], back_w[c:]
+    out["fc1_w"], out["fc1_b"] = dense(blk["mlp"]["fc1"])
+    out["fc2_w"], out["fc2_b"] = dense(blk["mlp"]["fc2"])
+    return out
+
+
+def _block_math(x, bias_bd, m0_bd, m1_bd, p, num_heads, dtype):
+    """One GAT block on a flattened [R, C] tile (R = G*J rows).
+
+    bias_bd: [H, R, R] block-diagonal hop/path bias with -inf off-block.
+    m0_bd/m1_bd: [R, R] block-diagonal X_Feat hop-ring masks.
+    p's gcn_m / gcn_adj_diag are pre-tiled to R rows; gcn_adj_off is the
+    [R, R] block-diagonal off-diagonal adjacency.
+    """
+    c = x.shape[-1]
+    d = c // num_heads
+    scale = d ** -0.5
+
+    def mm(a, w):
+        return jnp.dot(a.astype(dtype), w.astype(dtype),
+                       preferred_element_type=jnp.float32)
+
+    y32 = _ln(x, p["norm1_scale"], p["norm1_bias"])
+    y = y32.astype(dtype)
+
+    # --- attention over the block-diagonal tile (modules.py:121-138)
+    qkv = mm(y, p["qkv_w"]) + p["qkv_b"].astype(jnp.float32)
+    q, k, v = qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:]
+    attn32 = jnp.zeros_like(y32)
+    for h in range(num_heads):
+        qh = q[:, h * d:(h + 1) * d].astype(dtype)
+        kh = k[:, h * d:(h + 1) * d].astype(dtype)
+        vh = v[:, h * d:(h + 1) * d].astype(dtype)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias_bd[h]
+        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+        oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
+        # concat-free head merge: o @ proj = sum_h o_h @ proj[hD:(h+1)D]
+        attn32 = attn32 + mm(oh.astype(dtype),
+                             p["proj_w"][h * d:(h + 1) * d])
+    attn32 = attn32 + p["proj_b"].astype(jnp.float32)
+
+    # --- MGCN (modules.py:213-255): diag term is a row scale, off-diag is
+    # one block-diagonal matmul
+    mt = p["gcn_m"].astype(jnp.float32)
+    h0 = mm(y, p["gcn_w0"]) * mt
+    h1 = mm(y, p["gcn_w1"]) * mt
+    gcn = p["gcn_adj_diag"].astype(jnp.float32) * h0 \
+        + mm(p["gcn_adj_off"], h1.astype(dtype)) \
+        + p["gcn_b"].astype(jnp.float32)
+
+    z = (attn32 + gcn).astype(dtype)
+
+    # --- X_Feat (modules.py:140-177)
+    f0 = mm(z, p["x0_w"]) + p["x0_b"].astype(jnp.float32)
+    f1 = mm(z, p["x1_w"]) + p["x1_b"].astype(jnp.float32)
+    f0 = mm(m0_bd.astype(dtype), f0.astype(dtype))
+    f1 = mm(m1_bd.astype(dtype), f1.astype(dtype))
+    xf = mm(f0.astype(dtype), p["back_w0"]) \
+        + mm(f1.astype(dtype), p["back_w1"]) \
+        + p["back_b"].astype(jnp.float32)
+    x = x.astype(jnp.float32) + xf
+
+    # --- MLP (modules.py:179-196)
+    y2 = _ln(x, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+    m = _gelu_exact(mm(y2, p["fc1_w"])
+                    + p["fc1_b"].astype(jnp.float32))
+    m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(jnp.float32)
+    return (x + m).astype(x.dtype)
+
+
+def _kernel(x_ref, bias_ref, m0_ref, m1_ref, *rest, num_heads, dtype):
+    p_refs = rest[:-1]
+    out_ref = rest[-1]
+    p = {key: ref[...] for key, ref in zip(BLOCK_PARAM_KEYS, p_refs)}
+    out = _block_math(x_ref[...].astype(jnp.float32),
+                      bias_ref[...], m0_ref[...], m1_ref[...],
+                      p, num_heads, dtype)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _block_diag(mat: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[..., J, J] -> [..., G*J, G*J] block-diagonal (kron with I_G)."""
+    j = mat.shape[-1]
+    eye = jnp.eye(g, dtype=mat.dtype)
+    out = jnp.einsum("ab,...ij->...aibj", eye, mat)
+    return out.reshape(mat.shape[:-2] + (g * j, g * j))
+
+
+def _tile_rows(mat: jnp.ndarray, g: int) -> jnp.ndarray:
+    """[J, ...] -> [G*J, ...] (repeat along new leading sample axis)."""
+    return jnp.broadcast_to(mat[None], (g,) + mat.shape).reshape(
+        (g * mat.shape[0],) + mat.shape[1:])
+
+
+def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
+                     group: int = 16, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """Run all GAT blocks as one Pallas kernel per block.
+
+    x: [B, J, C]; bias: [H, J, J] hop/path encoding; block_params: list of
+    per-block dicts from `extract_block_params`; masks_xfeat: [2, J, J].
+    """
+    b, j, c = x.shape
+    dtype = x.dtype
+    while group > 1 and b % group:
+        group //= 2
+    r = group * j
+    mspace = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
+
+    neg = jnp.asarray(-1e9, jnp.float32)
+    blockmask = _block_diag(jnp.ones((j, j), jnp.float32), group)
+    bias_bd = _block_diag(bias.astype(jnp.float32), group) \
+        + neg * (1.0 - blockmask)[None]
+    m0_bd = _block_diag(jnp.asarray(masks_xfeat[0], dtype), group)
+    m1_bd = _block_diag(jnp.asarray(masks_xfeat[1], dtype), group)
+
+    x2d = x.reshape(b * j, c)
+
+    def _spec(shape, imap):
+        if mspace is None:
+            return pl.BlockSpec(shape, imap)
+        return pl.BlockSpec(shape, imap, memory_space=mspace)
+
+    xspec = _spec((r, c), lambda i: (i, 0))
+
+    def _const(shape):
+        nd = len(shape)
+        return _spec(shape, lambda i, nd=nd: (0,) * nd)
+
+    for p in block_params:
+        p = dict(p)
+        p["gcn_m"] = _tile_rows(jnp.asarray(p["gcn_m"]), group)
+        p["gcn_adj_diag"] = _tile_rows(jnp.asarray(p["gcn_adj_diag"]),
+                                       group)
+        p["gcn_adj_off"] = _block_diag(
+            jnp.asarray(p["gcn_adj_off"], jnp.float32), group)
+        plist = [jnp.asarray(p[key]) for key in BLOCK_PARAM_KEYS]
+        x2d = pl.pallas_call(
+            functools.partial(_kernel, num_heads=num_heads, dtype=dtype),
+            grid=(b // group,),
+            in_specs=[xspec, _const(bias_bd.shape), _const(m0_bd.shape),
+                      _const(m1_bd.shape)] + [_const(a.shape)
+                                              for a in plist],
+            out_specs=xspec,
+            out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+            interpret=interpret,
+        )(x2d, bias_bd, m0_bd, m1_bd, *plist)
+    return x2d.reshape(b, j, c)
+
+
+def gat_block_xla(x, bias, p, masks_xfeat, num_heads: int) -> jnp.ndarray:
+    """Math-identical XLA form on [B, J, C] (single block); the CPU
+    fallback and the test oracle for the fused kernel."""
+    b, j, c = x.shape
+    d = c // num_heads
+    scale = d ** -0.5
+    dtype = x.dtype
+
+    y = _ln(x, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    qkv = y @ p["qkv_w"].astype(dtype) + p["qkv_b"].astype(dtype)
+    qkv = qkv.reshape(b, j, 3, num_heads, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    s = s + bias[None].astype(s.dtype)
+    prob = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(dtype)
+    attn = jnp.einsum("bhnm,bmhd->bnhd", prob, v).reshape(b, j, c)
+    attn = attn @ p["proj_w"].astype(dtype) + p["proj_b"].astype(dtype)
+
+    mt = p["gcn_m"].astype(dtype)
+    h0 = (y @ p["gcn_w0"].astype(dtype)) * mt
+    h1 = (y @ p["gcn_w1"].astype(dtype)) * mt
+    gcn = p["gcn_adj_diag"].astype(dtype) * h0 \
+        + jnp.einsum("ij,bjc->bic", p["gcn_adj_off"].astype(dtype), h1) \
+        + p["gcn_b"].astype(dtype)
+
+    z = attn + gcn
+    f0 = jnp.einsum("ij,bjc->bic", jnp.asarray(masks_xfeat[0], dtype),
+                    z @ p["x0_w"].astype(dtype) + p["x0_b"].astype(dtype))
+    f1 = jnp.einsum("ij,bjc->bic", jnp.asarray(masks_xfeat[1], dtype),
+                    z @ p["x1_w"].astype(dtype) + p["x1_b"].astype(dtype))
+    xf = f0 @ p["back_w0"].astype(dtype) + f1 @ p["back_w1"].astype(dtype) \
+        + p["back_b"].astype(dtype)
+    x = x + xf
+
+    y2 = _ln(x, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+    m = _gelu_exact(y2 @ p["fc1_w"].astype(dtype)
+                    + p["fc1_b"].astype(dtype))
+    m = m @ p["fc2_w"].astype(dtype) + p["fc2_b"].astype(dtype)
+    return x + m.astype(x.dtype)
+
+
+def gat_blocks(x, bias, block_params, masks_xfeat,
+               num_heads: int) -> jnp.ndarray:
+    """Platform-dispatched GAT trunk (fused on TPU, XLA elsewhere)."""
+    def run_xla(x, bias, *flat):
+        ps = _unflatten(flat, len(block_params))
+        for p in ps:
+            x = gat_block_xla(x, bias, p, masks_xfeat, num_heads)
+        return x
+
+    flat = [p[k] for p in block_params for k in BLOCK_PARAM_KEYS]
+    if not _HAVE_PLTPU:
+        return run_xla(x, bias, *flat)
+
+    def run_tpu(x, bias, *flat):
+        ps = _unflatten(flat, len(block_params))
+        return gat_blocks_fused(x, bias, ps, masks_xfeat, num_heads)
+
+    return jax.lax.platform_dependent(x, bias, *flat,
+                                      tpu=run_tpu, default=run_xla)
+
+
+def _unflatten(flat, n_blocks):
+    k = len(BLOCK_PARAM_KEYS)
+    return [dict(zip(BLOCK_PARAM_KEYS, flat[i * k:(i + 1) * k]))
+            for i in range(n_blocks)]

@@ -198,6 +198,146 @@ def lbf_layer(verts, joints, params: Dict[str, jnp.ndarray],
                                       tpu=tpu_fn, default=other_fn)
 
 
+def _kernel_v2(verts_ref, joints_ref, cross_ref, self_ref, *rest,
+               num_heads, dtype, g, nv, nj):
+    """Tile-batched LBF layer kernel: verts_ref [g*nv, C] (each sample
+    padded to nv rows with one zero row so per-sample slices stay
+    sublane-aligned), joints_ref [g*nj, C]. All linears run as single
+    tile-wide matmuls; cross-attention is one block-diag-masked matmul
+    pair per head (cross_ref is the [g*nv, g*nj] 0/-1e9 mask); only the
+    self-attention score/prob dots stay per-sample — a [g*nv, g*nv] tile
+    would be ~47 MB (self_ref is the [1, nv] pad-column mask).
+
+    Pad-row handling: pad rows produce garbage activations, but they never
+    leak into real rows — the only cross-row ops are the attentions, whose
+    pad KEY columns are masked to -inf; pad QUERY rows only corrupt pad
+    outputs, which the caller slices off.
+    """
+    p_refs = rest[:-1]
+    out_ref = rest[-1]
+    p = {key: ref[...] for key, ref in zip(LAYER_PARAM_KEYS, p_refs)}
+    verts2d = verts_ref[...].astype(jnp.float32)
+    joints2d = joints_ref[...].astype(jnp.float32)
+    c = verts2d.shape[-1]
+    d = c // num_heads
+    scale = d ** -0.5
+
+    def mm(a, w):
+        return jnp.dot(a.astype(dtype), w.astype(dtype),
+                       preferred_element_type=jnp.float32)
+
+    yv = _ln(verts2d, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    yj = _ln(joints2d, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    q = mm(yv, p["wq"])
+    k = mm(yj, p["wk"])
+    v = mm(yj, p["wv"])
+    attn32 = jnp.zeros((verts2d.shape[0], c), jnp.float32)
+    crossmask = cross_ref[...]
+    for h in range(num_heads):
+        qh = q[:, h * d:(h + 1) * d].astype(dtype)
+        kh = k[:, h * d:(h + 1) * d].astype(dtype)
+        vh = v[:, h * d:(h + 1) * d].astype(dtype)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + crossmask
+        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+        oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
+        attn32 = attn32 + mm(oh.astype(dtype),
+                             p["proj_w"][h * d:(h + 1) * d])
+    attn32 = attn32 + p["proj_b"].astype(jnp.float32)
+    x1 = verts2d + attn32
+
+    y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+    m = _gelu_exact(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(jnp.float32))
+    m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(jnp.float32)
+    x2 = x1 + m
+
+    y3 = _stdln(x2, p["a2"], p["b2"])
+    y3d = y3.astype(dtype)
+    q2 = mm(y3d, p["l0_w"]) + p["l0_b"].astype(jnp.float32)
+    k2 = mm(y3d, p["l1_w"]) + p["l1_b"].astype(jnp.float32)
+    v2 = mm(y3d, p["l2_w"]) + p["l2_b"].astype(jnp.float32)
+    padmask = self_ref[...]                        # [1, nv] 0/-1e9
+    l3b = p["l3_b"].astype(jnp.float32)
+    for gi in range(g):
+        rows = slice(gi * nv, (gi + 1) * nv)
+        sa32 = jnp.zeros((nv, c), jnp.float32)
+        for h in range(num_heads):
+            cols = slice(h * d, (h + 1) * d)
+            qh = q2[rows, cols].astype(dtype)
+            kh = k2[rows, cols].astype(dtype)
+            vh = v2[rows, cols].astype(dtype)
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + padmask
+            prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+            oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
+            sa32 = sa32 + mm(oh.astype(dtype),
+                             p["l3_w"][h * d:(h + 1) * d])
+        out_ref[rows] = (y3[rows] + sa32 + l3b).astype(out_ref.dtype)
+
+
+def _round_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def lbf_layers_fused_v2(verts, joints, layer_params, num_heads: int,
+                        group: int = 8, interpret: bool = False
+                        ) -> jnp.ndarray:
+    """Run ALL LBF layers with the tile-batched kernel.
+
+    verts: [B, Nv, C], joints: [B, Nj, C]. Pads Nv up to a 16-row multiple
+    once, flattens sample and token axes together so every linear fills
+    the MXU, runs one pallas_call per layer, and slices the pad rows off
+    at the end.
+    """
+    b, nv0, c = verts.shape
+    nj = joints.shape[1]
+    dtype = verts.dtype
+    while group > 1 and b % group:
+        group //= 2
+    nv = _round_up(nv0, 16)
+
+    verts_p = jnp.pad(verts, ((0, 0), (0, nv - nv0), (0, 0)))
+    v2d = verts_p.reshape(b * nv, c)
+    j2d = joints.reshape(b * nj, c)
+
+    on = jnp.einsum("ab,ij->aibj", jnp.eye(group, dtype=jnp.float32),
+                    jnp.ones((nv, nj), jnp.float32))
+    crossmask = -1e9 * (1.0 - on.reshape(group * nv, group * nj))
+    selfmask = jnp.where(jnp.arange(nv)[None, :] < nv0, 0.0, -1e9
+                         ).astype(jnp.float32)
+
+    mspace = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
+
+    def _spec(shape, imap):
+        if mspace is None:
+            return pl.BlockSpec(shape, imap)
+        return pl.BlockSpec(shape, imap, memory_space=mspace)
+
+    vspec = _spec((group * nv, c), lambda i: (i, 0))
+    jspec = _spec((group * nj, c), lambda i: (i, 0))
+
+    def _const(shape):
+        nd = len(shape)
+        return _spec(shape, lambda i, nd=nd: (0,) * nd)
+
+    for params in layer_params:
+        plist = [jnp.asarray(params[key]) for key in LAYER_PARAM_KEYS]
+        v2d = pl.pallas_call(
+            functools.partial(_kernel_v2, num_heads=num_heads, dtype=dtype,
+                              g=group, nv=nv, nj=nj),
+            grid=(b // group,),
+            in_specs=[vspec, jspec, _const(crossmask.shape),
+                      _const(selfmask.shape)] + [_const(a.shape)
+                                                 for a in plist],
+            out_specs=vspec,
+            out_shape=jax.ShapeDtypeStruct(v2d.shape, v2d.dtype),
+            interpret=interpret,
+        )(v2d, j2d, crossmask, selfmask, *plist)
+    return v2d.reshape(b, nv, c)[:, :nv0]
+
+
 def extract_layer_params(mdr_params: Dict, layer: int,
                          dtype=None) -> Dict[str, jnp.ndarray]:
     """Pull one LBF layer's weights out of the flax param tree (converter

@@ -1,11 +1,15 @@
 """Serving path: maximum-throughput pose->mesh inference.
 
 `make_serving_fn(spec, variables)` returns a jittable function numerically
-equivalent to `GATOR.apply(..., deterministic=True)` but with the MDR LBF
-stack executed by the fully-fused Pallas layer kernel
-(`nn.pallas_mdr.lbf_layer`) — each layer's ~25 HBM-resident XLA ops
-collapse into one VMEM-resident program per sample tile. The GAT trunk and
-the MDR head (tiny tensors / single large matmuls) stay on XLA.
+equivalent to `GATOR.apply(..., deterministic=True)` but with the hot
+stacks executed by fully-fused Pallas kernels:
+  * the MDR LBF stack (`nn.pallas_mdr.lbf_layer`) — each layer's ~25
+    HBM-resident XLA ops collapse into one VMEM-resident program per
+    sample tile;
+  * the GAT trunk (`nn.pallas_gat.gat_blocks`) — each block's ~30 small
+    17-token ops become one block-diagonal tile program per G samples.
+The embeds and the MDR head (tiny tensors / single large matmuls) stay on
+XLA.
 
 `bench.py` uses this path; `tests/test_serving.py` pins it against the
 flax module output.
@@ -17,10 +21,72 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from .models.gat import GAT
 from .models.gator import GatorSpec
 from .models.mdr import conv1d_len3
+from .nn import HopPathEncoding
+from .nn.pallas_gat import extract_block_params, gat_blocks
 from .nn.pallas_mdr import extract_layer_params, lbf_layer
+
+
+def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
+                        dtype=jnp.float32):
+    """GAT forward from the raw param tree (mirror of models.gat.GAT with
+    deterministic=True; reference math: lib/models/GAT.py:133-152) with the
+    6-block trunk running as fused Pallas kernels on TPU.
+
+    Returns (pose3d [B, 3*J], features [B, J, C])."""
+    s = spec
+    b = pose2d.shape[0]
+    x = pose2d.reshape(b, s.num_joint, 2).astype(dtype)
+
+    # input embed: GraphLinear(2->64) -> GroupNorm(4, 64) -> GELU ->
+    # GraphLinear(64->D), channel-major (reference: GAT.py:69-72,133-139)
+    x = x.transpose(0, 2, 1)                                   # [B, 2, J]
+    g0 = params["GLinear_0"]
+    x = jnp.einsum("oi,bij->boj", g0["W"].astype(dtype), x) \
+        + g0["b"].astype(dtype)[None, :, None]
+    gn = params["GLinear_1"]
+    c64, grp = x.shape[1], x.shape[1] // 16
+    x32 = x.astype(jnp.float32).reshape(b, grp, -1)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    x32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    x = (x32.reshape(b, c64, s.num_joint) * gn["scale"][None, :, None]
+         + gn["bias"][None, :, None]).astype(dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    g3 = params["GLinear_3"]
+    x = jnp.einsum("oi,bij->boj", g3["W"].astype(dtype), x) \
+        + g3["b"].astype(dtype)[None, :, None]
+    x = x.transpose(0, 2, 1)                                   # [B, J, C]
+
+    # joint-id + degree embeddings (reference: GAT.py:141-144); row 0 of
+    # the padded tables is pinned to zero (torch padding_idx semantics)
+    pos_id = params["pos_id_embed"].at[0].set(0.0)
+    x = x + pos_id[jnp.arange(1, s.num_joint + 1)].astype(dtype)
+    x = x + params["pos_num_embed"].at[0].set(0.0)[
+        jnp.asarray(s.degree)].astype(dtype)
+
+    bias = HopPathEncoding(
+        num_heads=s.num_heads, num_spatial=s.num_spatial,
+        spatial_pos=s.spatial_pos, edge_input=s.edge_input,
+        hop_recip=s.hop_recip, dtype=jnp.float32).apply(
+            {"params": params["get_hop_path_encoding"]})       # [H, J, J]
+
+    block_params = [extract_block_params(params, i, s.adjacency)
+                    for i in range(s.depth)]
+    x = gat_blocks(x, bias, block_params, s.masks_xfeat, s.num_heads)
+
+    xn = params["norm"]
+    feat32 = x.astype(jnp.float32)
+    mean = feat32.mean(-1, keepdims=True)
+    var = ((feat32 - mean) ** 2).mean(-1, keepdims=True)
+    feat = ((feat32 - mean) * jax.lax.rsqrt(var + 1e-5)
+            * xn["scale"] + xn["bias"]).astype(dtype)
+    feat = jax.nn.gelu(feat, approximate=False)
+    lif = params["lifter"]["linear"]
+    pose3d = feat.reshape(b, -1) @ lif["kernel"].astype(dtype) \
+        + lif["bias"].astype(dtype)
+    return pose3d, feat
 
 
 def mdr_serving_forward(spec, params: Dict[str, Any],
@@ -91,10 +157,20 @@ def mdr_serving_forward(spec, params: Dict[str, Any],
 
 
 def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
-                    dtype=jnp.bfloat16):
-    """-> jittable pose2d [B, J, 2] -> (mesh [B, V, 3], pose3d [B, J, 3])."""
-    gat = GAT(spec=spec.gat, dtype=dtype)
-    gat_vars = {"params": variables["params"]["pose_lifter"]}
+                    dtype=jnp.bfloat16, cast_weights: bool = True):
+    """-> jittable pose2d [B, J, 2] -> (mesh [B, V, 3], pose3d [B, J, 3]).
+
+    With `cast_weights` (default) the f32 weights are cast to `dtype` once
+    here instead of per call — halves the weight HBM traffic per step (the
+    431->6890 upsample conv alone is 36 MB in f32). BatchNorm running
+    stats stay f32 (their rsqrt is precision-sensitive)."""
+    if cast_weights and dtype != jnp.float32:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if jnp.asarray(a).dtype == jnp.float32 else a,
+            variables["params"])
+        variables = dict(variables, params=params)
+    gat_params = variables["params"]["pose_lifter"]
     mdr_params = variables["params"]["pose2mesh"]
     batch_stats = None
     if "batch_stats" in variables and variables["batch_stats"]:
@@ -103,8 +179,8 @@ def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
     def fn(pose2d):
         b = pose2d.shape[0]
         pose2d = pose2d.reshape(b, spec.gat.num_joint, 2).astype(dtype)
-        pose3d_flat, feat = gat.apply(gat_vars, pose2d.reshape(b, -1),
-                                      deterministic=True)
+        pose3d_flat, feat = gat_serving_forward(spec.gat, gat_params,
+                                                pose2d, dtype=dtype)
         pose3d = pose3d_flat.reshape(b, spec.gat.num_joint, 3)
         pose_combine = jnp.concatenate(
             [pose2d, pose3d / 1000.0, feat], axis=2)
