@@ -113,14 +113,17 @@ def main(argv=None):
         edge_on = jnp.asarray(
             1.0 if (sess.is_gator and epoch > cfg.TRAIN.edge_loss_start)
             else 0.0)
-        running, steps, t0 = 0.0, 0, time.time()
+        # losses stay device scalars until the epoch ends (or print_freq /
+        # wandb forces a readback): a float() per step would serialize the
+        # host against every step's completion
+        losses_dev, steps, t0 = [], 0, time.time()
         for batch in sess.pipeline:
             batch = shard_batch(mesh, batch)
             if sess.is_gator:
                 state, m = dstep(state, batch, rng, edge_on)
             else:
                 state, m = dstep(state, batch, rng)
-            running += float(m["loss"])
+            losses_dev.append(m["loss"])
             steps += 1
             if wandb_run is not None:
                 wandb_run.log({f"train_loss/{k}": float(v)
@@ -129,7 +132,8 @@ def main(argv=None):
                 per = {k: float(v) for k, v in m.items()}
                 msg = " ".join(f"{k}: {v:.4f}" for k, v in per.items())
                 print(f"epoch {epoch} [{steps}/{len(sess.pipeline)}] {msg}")
-        epoch_loss = running / max(1, steps)
+        epoch_loss = (float(jnp.stack(losses_dev).mean())
+                      if losses_dev else 0.0)
         loss_history.append(epoch_loss)
         dt = time.time() - t0
         sps = steps * cfg.TRAIN.batch_size / max(dt, 1e-9)

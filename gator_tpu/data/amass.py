@@ -109,17 +109,17 @@ class AmassDataset:
         cam_t = np.tile(CAM_T_M, (n, 1))
         mesh_mm, _ = synth.smpl_mesh_rotated(
             t.pose[idx], t.shape[idx], t.cam_r[idx], cam_t)
-        mesh_mm = np.asarray(mesh_mm)
         focal = np.tile(FOCAL, (n, 1))
         princpt = np.tile(PRINCPT, (n, 1))
         # projections use meter-scale coords (reference: AMASS:238 divides
         # mm by 1000 before cam2pixel) — equivalent to projecting mm coords
         coco_cam, coco_img = synth.coco_from_mesh(mesh_mm, focal, princpt)
         coco_cam, coco_img = np.asarray(coco_cam), np.asarray(coco_img)
-        h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
+        h36m_dev = synth.h36m_from_mesh(mesh_mm)
+        mesh_rel_m = synth.mesh_rel_m(mesh_mm, h36m_dev[:, :1])  # on device
+        h36m_cam = np.asarray(h36m_dev)
 
         opts = self.opts
-        mesh_rel = mesh_mm - h36m_cam[:, :1]
         cc = coco_cam - coco_cam[:, -2:-1]
         jh = h36m_cam - h36m_cam[:, :1]
         if opts.input_joint_name == "coco":
@@ -131,5 +131,5 @@ class AmassDataset:
         # mocap GT is exact: no fitting filter (reference keeps all samples)
         return assemble_batch(
             opts, self.joint_set, rng, stage,
-            mesh_rel=mesh_rel, joint_img_b=joint_img_b,
+            mesh_rel_m=mesh_rel_m, joint_img_b=joint_img_b,
             joint_cam_b=joint_cam_b, reg_pose=jh, fit_err=None)

@@ -137,6 +137,22 @@ def augm_params(is_train: bool, flip_enabled: bool, rotate_factor: float,
     return flip, rot
 
 
+def augm_params_batch(is_train: bool, flip_enabled: bool,
+                      rotate_factor: float, b: int,
+                      rng: np.random.Generator
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched `augm_params`: (flips [B] int64, rots [B] f32). Same
+    per-sample distribution (reference: aug_utils.py:98-117), drawn as
+    three vectorized rng calls instead of 3B scalar ones."""
+    if not is_train:
+        return np.zeros(b, np.int64), np.zeros(b, np.float32)
+    flips = ((rng.uniform(size=b) <= 0.5) & flip_enabled).astype(np.int64)
+    rots = np.clip(rng.standard_normal(b) * rotate_factor,
+                   -2 * rotate_factor, 2 * rotate_factor)
+    rots[rng.uniform(size=b) <= 0.5] = 0.0
+    return flips, rots.astype(np.float32)
+
+
 def normalize_input_pose(joint_img: np.ndarray,
                          input_shape: Sequence[int]) -> np.ndarray:
     """Final input normalization: scale pixel coords to [0,1] by input

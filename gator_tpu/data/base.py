@@ -73,9 +73,10 @@ class SmplPoseDataset:
                    stage: str = "gator") -> Dict[str, np.ndarray]:
         t = self.table
         idx = np.asarray(indices)
-        # device GT synthesis, grouped by gender
-        mesh_mm = np.empty((len(idx),) + (self.assets.vertex_num, 3),
-                           np.float32)
+        # device GT synthesis, grouped by gender; the [B, V, 3] mesh stays
+        # ON DEVICE (root-relativized there) — only the small per-joint
+        # arrays come back to host
+        groups = []
         coco_cam = np.empty((len(idx), 19, 3), np.float32)
         coco_img = np.empty((len(idx), 19, 3), np.float32)
         fit_err = np.empty((len(idx),), np.float32)
@@ -90,22 +91,31 @@ class SmplPoseDataset:
                 joint_cam_h36m=(t.joint_cam_h36m[sub]
                                 - t.joint_cam_h36m[sub][:, :1]),
                 gender=g_name)
-            mesh_mm[sel] = out["mesh_mm"]
+            groups.append((sel, synth.mesh_rel_m(
+                out["mesh_mm"], t.joint_cam_h36m[sub][:, :1])))
             coco_cam[sel] = out["joint_cam_coco"]
             coco_img[sel] = out["joint_img_coco"]
             fit_err[sel] = out.get(
                 "fitting_error", np.zeros(len(sel), np.float32))
 
-        return self._assemble(idx, mesh_mm, coco_cam, coco_img, fit_err,
-                              rng, stage)
+        if len(groups) == 1:
+            mesh_rel_m = groups[0][1]
+        else:
+            import jax.numpy as jnp
+            mesh_rel_m = jnp.zeros(
+                (len(idx), self.assets.vertex_num, 3), jnp.float32)
+            for sel, part in groups:
+                mesh_rel_m = mesh_rel_m.at[sel].set(part)
 
-    def _assemble(self, idx, mesh_mm, coco_cam, coco_img, fit_err, rng,
+        return self._assemble(idx, mesh_rel_m, coco_cam, coco_img,
+                              fit_err, rng, stage)
+
+    def _assemble(self, idx, mesh_rel_m, coco_cam, coco_img, fit_err, rng,
                   stage) -> Dict[str, np.ndarray]:
         t = self.table
         opts = self.opts
         # vectorized root-relativization (reference: dataset.py:352-356)
         jc_h36m = t.joint_cam_h36m[idx]
-        mesh_rel = mesh_mm - jc_h36m[:, :1]
         cc = coco_cam - coco_cam[:, -2:-1]
         jh = jc_h36m - jc_h36m[:, :1]
         if opts.input_joint_name == "coco":
@@ -115,7 +125,7 @@ class SmplPoseDataset:
         is_coco = opts.input_joint_name == "coco"
         return assemble_batch(
             opts, self.joint_set, rng, stage,
-            mesh_rel=mesh_rel, joint_img_b=joint_img_b,
+            mesh_rel_m=mesh_rel_m, joint_img_b=joint_img_b,
             joint_cam_b=joint_cam_b, reg_pose=jh, fit_err=fit_err,
             detected_pose=(self.detected_pose[idx]
                            if self.detected_pose is not None else None),
@@ -130,7 +140,8 @@ def assemble_batch(
     rng: np.random.Generator,
     stage: str,
     *,
-    mesh_rel: np.ndarray,        # [B, V, 3] root-relative mesh, mm
+    mesh_rel_m,                  # [B, V, 3] root-relative mesh in METERS;
+                                 # a device (jax) array on the train path
     joint_img_b: np.ndarray,     # [B, J, 2] input pixel joints
     joint_cam_b: np.ndarray,     # [B, J, 3] root-relative lift target, mm
     reg_pose: np.ndarray,        # [B, 17, 3] root-relative h36m target, mm
@@ -146,14 +157,11 @@ def assemble_batch(
 
     Everything is batched numpy except two inherently per-sample input
     paths: detector replacement and the COCO detector-noise simulator."""
-    from .augment import augm_params
+    from .augment import augm_params_batch
 
     b = len(joint_img_b)
-    flips = np.zeros(b, np.int64)
-    rots = np.zeros(b, np.float32)
-    for row in range(b):
-        flips[row], rots[row] = augm_params(
-            opts.is_train, opts.flip_enabled, opts.rotate_factor, rng)
+    flips, rots = augm_params_batch(
+        opts.is_train, opts.flip_enabled, opts.rotate_factor, b, rng)
 
     # input assembly: vectorized fast path unless per-sample detector
     # replacement / COCO noise synthesis is needed
@@ -208,26 +216,20 @@ def assemble_batch(
     bad = (fit_err > opts.fitting_thr if fit_err is not None
            else np.zeros(b, bool))
     if stage == "gator":
-        v = mesh_rel.shape[1]
-        mesh_valid = np.ones((b, v, 1), np.float32)
-        reg_valid = np.ones((b, 17, 1), np.float32)
-        lift_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
-        if "mesh" in bad_zero_gator:
-            mesh_valid[bad] = 0
-        if "reg" in bad_zero_gator:
-            reg_valid[bad] = 0
-        if "lift" in bad_zero_gator:
-            lift_valid[bad] = 0
+        # per-SAMPLE validity masks are [B, 1, 1] and broadcast inside the
+        # loss — materializing [B, V, 1] (56 MB at B=2048) bought nothing
+        good = (~bad).astype(np.float32)[:, None, None]
+        ones = np.ones((b, 1, 1), np.float32)
         return {
             "pose2d": pose2d,
-            "mesh": (mesh_rel / 1000.0).astype(np.float32),
+            "mesh": mesh_rel_m,
             "lift_pose3d": batch_j3d(joint_cam_b),
             "reg_pose3d": reg_pose.astype(np.float32),
-            "mesh_valid": mesh_valid,
-            "reg_valid": reg_valid,
-            "lift_valid": lift_valid,
+            "mesh_valid": good if "mesh" in bad_zero_gator else ones,
+            "reg_valid": good if "reg" in bad_zero_gator else ones,
+            "lift_valid": good if "lift" in bad_zero_gator else ones,
         }
-    joint_valid = np.ones((b, joint_cam_b.shape[1], 1), np.float32)
+    joint_valid = np.ones((b, 1, 1), np.float32)
     if bad_zero_gat:
         joint_valid[bad] = 0
     return {

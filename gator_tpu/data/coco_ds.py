@@ -123,13 +123,13 @@ class CocoDataset:
         t = self.table
         idx = np.asarray(indices)
         mesh_mm, _ = synth.smpl_mesh_plain(t.pose[idx], t.shape[idx])
-        mesh_mm = np.asarray(mesh_mm)
         coco_cam, coco_img = synth.coco_weak_perspective(
             mesh_mm, t.cam_s[idx], t.cam_t[idx])
         coco_cam, coco_img = np.asarray(coco_cam), np.asarray(coco_img)
-        h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
+        h36m_dev = synth.h36m_from_mesh(mesh_mm)
+        mesh_rel_m = synth.mesh_rel_m(mesh_mm, h36m_dev[:, :1])  # on device
+        h36m_cam = np.asarray(h36m_dev)
 
-        mesh_rel = mesh_mm - h36m_cam[:, :1]
         cc = coco_cam - coco_cam[:, -2:-1]
         jh = h36m_cam - h36m_cam[:, :1]
         # 2D reprojection fitting filter stays per-sample (bbox-dependent
@@ -141,6 +141,6 @@ class CocoDataset:
         # COCO zeroes ALL validity masks on a bad fit (dataset.py:270)
         return assemble_batch(
             self.opts, self.joint_set, rng, stage,
-            mesh_rel=mesh_rel, joint_img_b=coco_img[:, :, :2],
+            mesh_rel_m=mesh_rel_m, joint_img_b=coco_img[:, :, :2],
             joint_cam_b=cc, reg_pose=jh, fit_err=fit_err,
             bad_zero_gator=("mesh", "reg", "lift"), bad_zero_gat=True)

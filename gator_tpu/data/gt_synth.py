@@ -151,6 +151,14 @@ class GtSynthesizer:
         return jnp.einsum("jv,bvc->bjc", self.j_reg_h36m, mesh_mm)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def mesh_rel_m(self, mesh_mm, root_mm):
+        """Root-relative mesh in meters — the training target. Runs on
+        device so the [B, V, 3] mesh never round-trips through the host
+        (reference does this per sample on CPU: Human36M/dataset.py:352-356
+        then /1000 in __getitem__)."""
+        return ((mesh_mm - root_mm) / 1000.0).astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnums=0)
     def fitting_error(self, joint_cam_h36m, mesh_mm):
         """Translation-aligned joint error of the fitted mesh vs dataset GT
         (reference: Human36M/dataset.py:302-309); root-relative gt in,
@@ -171,7 +179,9 @@ class GtSynthesizer:
             pose, shape, trans, cam_r, cam_t, gender)
         coco_cam, coco_img = self.coco_from_mesh(mesh_mm, focal, princpt)
         out = {
-            "mesh_mm": np.asarray(mesh_mm),
+            # the [B, V, 3] mesh stays a DEVICE array; callers that need it
+            # on host np.asarray it, the training path keeps it on device
+            "mesh_mm": mesh_mm,
             "smpl_joints_mm": np.asarray(smpl_joints_mm),
             "joint_cam_coco": np.asarray(coco_cam),
             "joint_img_coco": np.asarray(coco_img),

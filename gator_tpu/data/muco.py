@@ -121,15 +121,24 @@ class MucoDataset:
 
     def _fitting_error_batch(self, muco_joints, mesh_mm):
         """Translation-aligned error on muco->h36m transferred joints,
-        batched (reference: MuCo/dataset.py:246-262)."""
+        batched on device — mesh_mm may be a jax array that never visits
+        the host (reference: MuCo/dataset.py:246-262)."""
+        import jax
+        import jax.numpy as jnp
         rel = muco_joints - muco_joints[:, MUCO_ROOT_IDX:MUCO_ROOT_IDX + 1]
         mask = self._h36m_from_muco >= 0
-        h36m_gt = rel[:, self._h36m_from_muco[mask]]
-        reg = np.einsum("jv,bvc->bjc", self.assets.j_regressor_h36m,
-                        mesh_mm)[:, mask]
-        reg = reg - reg.mean(1, keepdims=True) + h36m_gt.mean(
-            1, keepdims=True)
-        return np.sqrt(((h36m_gt - reg) ** 2).sum(-1)).mean(-1)
+        if getattr(self, "_fit_err_jit", None) is None:
+            jreg = jnp.asarray(self.assets.j_regressor_h36m[mask])
+
+            def f(gt, mesh):
+                reg = jnp.einsum("jv,bvc->bjc", jreg, mesh)
+                reg = reg - reg.mean(1, keepdims=True) \
+                    + gt.mean(1, keepdims=True)
+                return jnp.sqrt(((gt - reg) ** 2).sum(-1)).mean(-1)
+
+            self._fit_err_jit = jax.jit(f)
+        gt = rel[:, self._h36m_from_muco[mask]].astype(np.float32)
+        return np.asarray(self._fit_err_jit(gt, mesh_mm))
 
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,
@@ -138,14 +147,14 @@ class MucoDataset:
         idx = np.asarray(indices)
         mesh_mm, _ = synth.smpl_mesh_direct(
             t.pose[idx], t.shape[idx], t.trans[idx], "neutral", True)
-        mesh_mm = np.asarray(mesh_mm)
         coco_cam, coco_img = synth.coco_from_mesh(
             mesh_mm, t.focal[idx], t.princpt[idx])
         coco_cam, coco_img = np.asarray(coco_cam), np.asarray(coco_img)
-        h36m_cam = np.asarray(synth.h36m_from_mesh(mesh_mm))
+        h36m_dev = synth.h36m_from_mesh(mesh_mm)
+        mesh_rel_m = synth.mesh_rel_m(mesh_mm, h36m_dev[:, :1])  # on device
+        h36m_cam = np.asarray(h36m_dev)
 
         opts = self.opts
-        mesh_rel = mesh_mm - h36m_cam[:, :1]
         cc = coco_cam - coco_cam[:, -2:-1]
         jh = h36m_cam - h36m_cam[:, :1]
         if opts.input_joint_name == "coco":
@@ -159,6 +168,6 @@ class MucoDataset:
         # MuCo zeroes ALL masks on a bad fit (reference: dataset.py:316-319)
         return assemble_batch(
             opts, self.joint_set, rng, stage,
-            mesh_rel=mesh_rel, joint_img_b=joint_img_b,
+            mesh_rel_m=mesh_rel_m, joint_img_b=joint_img_b,
             joint_cam_b=joint_cam_b, reg_pose=jh, fit_err=fit_err,
             bad_zero_gator=("mesh", "reg", "lift"), bad_zero_gat=False)

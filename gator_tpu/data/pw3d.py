@@ -178,15 +178,13 @@ class PW3D:
                 out["mesh"].append((mesh_rel / 1000.0).astype(np.float32))
                 out["reg_pose3d"].append(jh.astype(np.float32))
                 out["lift_pose3d"].append(cc.astype(np.float32))
-                v = mesh_rel.shape[0]
-                out["mesh_valid"].append(np.ones((v, 1), np.float32))
-                out["reg_valid"].append(np.ones((17, 1), np.float32))
-                out["lift_valid"].append(
-                    np.ones((len(cc), 1), np.float32))
+                # [1, 1] per-sample masks broadcast in the loss
+                out["mesh_valid"].append(np.ones((1, 1), np.float32))
+                out["reg_valid"].append(np.ones((1, 1), np.float32))
+                out["lift_valid"].append(np.ones((1, 1), np.float32))
             else:
                 out["joint_cam"].append(cc.astype(np.float32))
-                out["joint_valid"].append(
-                    np.ones((len(cc), 1), np.float32))
+                out["joint_valid"].append(np.ones((1, 1), np.float32))
         keys = (("pose2d", "mesh", "lift_pose3d", "reg_pose3d",
                  "mesh_valid", "reg_valid", "lift_valid")
                 if stage == "gator" else

@@ -59,6 +59,10 @@ def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
     def _pad(x):
         if pad == 0:
             return x
+        if isinstance(x, jax.Array):   # device-resident leaves stay there
+            import jax.numpy as jnp
+            reps = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+            return jnp.concatenate([x, reps], axis=0)
         reps = np.repeat(x[-1:], pad, axis=0)
         return np.concatenate([x, reps], axis=0)
 

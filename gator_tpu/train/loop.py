@@ -31,8 +31,10 @@ def make_gator_train_step(
     dtype=jnp.float32,
 ) -> Callable:
     """Stage-2 step. batch dict keys: pose2d [B,J,2], mesh [B,V,3] (m),
-    lift_pose3d [B,J,3] (mm), reg_pose3d [B,17,3] (mm), mesh_valid [B,V,1],
-    lift_valid [B,J,1], reg_valid [B,17,1].
+    lift_pose3d [B,J,3] (mm), reg_pose3d [B,17,3] (mm), and validity masks
+    mesh_valid / lift_valid / reg_valid that broadcast against their
+    targets ([B,1,1] per-sample masks from the pipeline; [B,V,1]-style
+    per-element masks also work).
     """
     model = GATOR(spec=spec, dtype=dtype)
     has_bn = not spec.mdr.alpha
