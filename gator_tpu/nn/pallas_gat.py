@@ -226,6 +226,10 @@ def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
         p["gcn_adj_off"] = _block_diag(
             jnp.asarray(p["gcn_adj_off"], jnp.float32), group)
         plist = [jnp.asarray(p[key]) for key in BLOCK_PARAM_KEYS]
+        kwargs = {}
+        if not interpret and _HAVE_PLTPU:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
         x2d = pl.pallas_call(
             functools.partial(_kernel, num_heads=num_heads, dtype=dtype),
             grid=(b // group,),
@@ -235,6 +239,7 @@ def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
             out_specs=xspec,
             out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
             interpret=interpret,
+            **kwargs,
         )(x2d, bias_bd, m0_bd, m1_bd, *plist)
     return x2d.reshape(b, j, c)
 

@@ -175,6 +175,8 @@ def lbf_layer_fused(verts, joints, params: Dict[str, jnp.ndarray],
         in_specs=[vspec, jspec] + pspecs,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct(verts.shape, verts.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )(verts, joints, *[params[k] for k in LAYER_PARAM_KEYS])
 
 
@@ -198,15 +200,68 @@ def lbf_layer(verts, joints, params: Dict[str, jnp.ndarray],
                                       tpu=tpu_fn, default=other_fn)
 
 
-def _kernel_v2(verts_ref, joints_ref, cross_ref, self_ref, *rest,
-               num_heads, dtype, g, nv, nj):
-    """Tile-batched LBF layer kernel: verts_ref [g*nv, C] (each sample
-    padded to nv rows with one zero row so per-sample slices stay
-    sublane-aligned), joints_ref [g*nj, C]. All linears run as single
-    tile-wide matmuls; cross-attention is one block-diag-masked matmul
-    pair per head (cross_ref is the [g*nv, g*nj] 0/-1e9 mask); only the
-    self-attention score/prob dots stay per-sample — a [g*nv, g*nv] tile
-    would be ~47 MB (self_ref is the [1, nv] pad-column mask).
+def _round_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+# folded-weight keys for the stacked kernel, in pallas_call argument order;
+# each array is stacked over layers along axis 0
+STACK_PARAM_KEYS = (
+    "norm1_scale", "norm1_bias",
+    "wq", "wk", "wvp", "proj_b",
+    "norm2_scale", "norm2_bias",
+    "fc1_w", "fc1_b", "fc2_w", "fc2_b",
+    "a2", "b2",
+    "l0_w", "l0_b", "l1_w", "l1_b", "l23", "bias23",
+)
+
+
+def fold_stack_params(layer_params, num_heads: int,
+                      dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Stack per-layer LBF params over a leading layer axis and pre-fold
+    the V projections so the attention output dots run at N=C instead of
+    N=C/H followed by a K=C/H projection:
+
+      cross:  o @ proj = sum_h prob_h @ (yj @ wv)[:, h] @ proj[h]
+              -> prob_h @ (yj @ wvp_h),  wvp_h = wv[:, hD:] @ proj[hD:, :]
+      self:   likewise l2/l3 fold into l23_h; their biases collapse into a
+              constant row (softmax rows sum to 1): bias23 = l2_b@l3_w+l3_b.
+    """
+    c = layer_params[0]["wq"].shape[0]
+    d = c // num_heads
+
+    def fold(w_v, w_o):
+        return jnp.stack([w_v[:, h * d:(h + 1) * d]
+                          @ w_o[h * d:(h + 1) * d] for h in
+                          range(num_heads)])            # [H, C, C]
+
+    out = {}
+    for key in STACK_PARAM_KEYS:
+        if key == "wvp":
+            arrs = [fold(p["wv"], p["proj_w"]) for p in layer_params]
+        elif key == "l23":
+            arrs = [fold(p["l2_w"], p["l3_w"]) for p in layer_params]
+        elif key == "bias23":
+            arrs = [p["l2_b"] @ p["l3_w"] + p["l3_b"]
+                    for p in layer_params]
+        else:
+            arrs = [p[key] for p in layer_params]
+        out[key] = jnp.stack([jnp.asarray(a, dtype) for a in arrs])
+    return out
+
+
+def _kernel_stack(verts_ref, joints_ref, *rest,
+                  num_heads, dtype, g, nv, nj, nv0, nj0, n_layers):
+    """ALL LBF layers in one program per G-sample tile.
+
+    verts_ref [g*nv, C] (each sample padded from nv0=431 to nv=432 rows so
+    per-sample slices stay sublane-aligned), joints_ref [g*nj, C]. The
+    token tile is read from HBM once and written once for the whole stack.
+    All linears run as single tile-wide matmuls; cross-attention is one
+    block-diag-masked matmul pair per head; only the self-attention
+    score/prob dots stay per-sample (a [g*nv, g*nv] tile would be ~47 MB).
+    Attention masks are built from iota in-kernel (a [g*nv, g*nj] f32 mask
+    input would re-stream ~1.9 MB per program).
 
     Pad-row handling: pad rows produce garbage activations, but they never
     leak into real rows — the only cross-row ops are the attentions, whose
@@ -215,98 +270,106 @@ def _kernel_v2(verts_ref, joints_ref, cross_ref, self_ref, *rest,
     """
     p_refs = rest[:-1]
     out_ref = rest[-1]
-    p = {key: ref[...] for key, ref in zip(LAYER_PARAM_KEYS, p_refs)}
-    verts2d = verts_ref[...].astype(jnp.float32)
-    joints2d = joints_ref[...].astype(jnp.float32)
-    c = verts2d.shape[-1]
+    stacked = {key: ref[...] for key, ref in
+               zip(STACK_PARAM_KEYS, p_refs)}
+    x = verts_ref[...].astype(jnp.float32)
+    joints2d = joints_ref[...]
+    r, c = x.shape
     d = c // num_heads
     scale = d ** -0.5
+
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (r, g * nj), 0) // nv
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, g * nj), 1)
+    # own-sample block AND real (non-pad) joint column
+    on = (rowg == col // nj) & (col % nj < nj0)
+    crossmask = jnp.where(on, 0.0, -1e9).astype(jnp.float32)
+    padmask = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, nv), 1) < nv0,
+        0.0, -1e9).astype(jnp.float32)
 
     def mm(a, w):
         return jnp.dot(a.astype(dtype), w.astype(dtype),
                        preferred_element_type=jnp.float32)
 
-    yv = _ln(verts2d, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
-    yj = _ln(joints2d, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
-    q = mm(yv, p["wq"])
-    k = mm(yj, p["wk"])
-    v = mm(yj, p["wv"])
-    attn32 = jnp.zeros((verts2d.shape[0], c), jnp.float32)
-    crossmask = cross_ref[...]
-    for h in range(num_heads):
-        qh = q[:, h * d:(h + 1) * d].astype(dtype)
-        kh = k[:, h * d:(h + 1) * d].astype(dtype)
-        vh = v[:, h * d:(h + 1) * d].astype(dtype)
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + crossmask
-        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
-        oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
-        attn32 = attn32 + mm(oh.astype(dtype),
-                             p["proj_w"][h * d:(h + 1) * d])
-    attn32 = attn32 + p["proj_b"].astype(jnp.float32)
-    x1 = verts2d + attn32
+    for l in range(n_layers):
+        p = {key: val[l] for key, val in stacked.items()}
 
-    y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
-    m = _gelu_exact(mm(y2, p["fc1_w"]) + p["fc1_b"].astype(jnp.float32))
-    m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(jnp.float32)
-    x2 = x1 + m
-
-    y3 = _stdln(x2, p["a2"], p["b2"])
-    y3d = y3.astype(dtype)
-    q2 = mm(y3d, p["l0_w"]) + p["l0_b"].astype(jnp.float32)
-    k2 = mm(y3d, p["l1_w"]) + p["l1_b"].astype(jnp.float32)
-    v2 = mm(y3d, p["l2_w"]) + p["l2_b"].astype(jnp.float32)
-    padmask = self_ref[...]                        # [1, nv] 0/-1e9
-    l3b = p["l3_b"].astype(jnp.float32)
-    for gi in range(g):
-        rows = slice(gi * nv, (gi + 1) * nv)
-        sa32 = jnp.zeros((nv, c), jnp.float32)
+        yv = _ln(x, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+        yj = _ln(joints2d.astype(jnp.float32), p["norm1_scale"],
+                 p["norm1_bias"]).astype(dtype)
+        q = mm(yv, p["wq"])
+        k = mm(yj, p["wk"])
+        attn32 = jnp.zeros((r, c), jnp.float32)
         for h in range(num_heads):
-            cols = slice(h * d, (h + 1) * d)
-            qh = q2[rows, cols].astype(dtype)
-            kh = k2[rows, cols].astype(dtype)
-            vh = v2[rows, cols].astype(dtype)
+            qh = q[:, h * d:(h + 1) * d].astype(dtype)
+            kh = k[:, h * d:(h + 1) * d].astype(dtype)
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s * scale + padmask
+            s = s * scale + crossmask
             prob = jax.nn.softmax(s, axis=-1).astype(dtype)
-            oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
-            sa32 = sa32 + mm(oh.astype(dtype),
-                             p["l3_w"][h * d:(h + 1) * d])
-        out_ref[rows] = (y3[rows] + sa32 + l3b).astype(out_ref.dtype)
+            vp = mm(yj, p["wvp"][h])
+            attn32 = attn32 + jnp.dot(prob, vp.astype(dtype),
+                                      preferred_element_type=jnp.float32)
+        x1 = x + attn32 + p["proj_b"].astype(jnp.float32)
+
+        y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+        m = _gelu_exact(mm(y2, p["fc1_w"])
+                        + p["fc1_b"].astype(jnp.float32))
+        m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(
+            jnp.float32)
+        x2 = x1 + m
+
+        y3 = _stdln(x2, p["a2"], p["b2"])
+        y3d = y3.astype(dtype)
+        q2 = mm(y3d, p["l0_w"]) + p["l0_b"].astype(jnp.float32)
+        k2 = mm(y3d, p["l1_w"]) + p["l1_b"].astype(jnp.float32)
+        sa_rows = []
+        vps = [mm(y3d, p["l23"][h]) for h in range(num_heads)]
+        for gi in range(g):
+            rows = slice(gi * nv, (gi + 1) * nv)
+            sa32 = jnp.zeros((nv, c), jnp.float32)
+            for h in range(num_heads):
+                cols = slice(h * d, (h + 1) * d)
+                qh = q2[rows, cols].astype(dtype)
+                kh = k2[rows, cols].astype(dtype)
+                s = jax.lax.dot_general(qh, kh,
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + padmask
+                prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+                sa32 = sa32 + jnp.dot(
+                    prob, vps[h][rows].astype(dtype),
+                    preferred_element_type=jnp.float32)
+            sa_rows.append(sa32)
+        sa = jnp.concatenate(sa_rows, axis=0)
+        x = y3 + sa + p["bias23"].astype(jnp.float32)
+    out_ref[...] = x.astype(out_ref.dtype)
 
 
-def _round_up(n: int, mult: int) -> int:
-    return -(-n // mult) * mult
+def lbf_stack_fused(verts, joints, layer_params, num_heads: int,
+                    group: int = 8, layers_per_call: int = 1,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Run the LBF stack as `ceil(L / layers_per_call)` pallas_calls.
 
-
-def lbf_layers_fused_v2(verts, joints, layer_params, num_heads: int,
-                        group: int = 8, interpret: bool = False
-                        ) -> jnp.ndarray:
-    """Run ALL LBF layers with the tile-batched kernel.
-
-    verts: [B, Nv, C], joints: [B, Nj, C]. Pads Nv up to a 16-row multiple
-    once, flattens sample and token axes together so every linear fills
-    the MXU, runs one pallas_call per layer, and slices the pad rows off
-    at the end.
-    """
+    verts: [B, Nv, C], joints: [B, Nj, C]. Pads Nv (431->432) and Nj
+    (17->24) up to 16/8-row multiples once so every per-sample slice and
+    tile stays sublane-aligned, flattens sample and token axes together so
+    every linear fills the MXU, and slices the pad rows off at the end.
+    group=8 with one layer per call fits the 16 MB scoped-VMEM limit
+    (3 layers in one g=8 program measured 19.4 MB and OOMed; g=4 fits but
+    the halved tile costs more than the saved launches)."""
     b, nv0, c = verts.shape
-    nj = joints.shape[1]
+    nj0 = joints.shape[1]
     dtype = verts.dtype
     while group > 1 and b % group:
         group //= 2
     nv = _round_up(nv0, 16)
+    nj = _round_up(nj0, 8)
 
     verts_p = jnp.pad(verts, ((0, 0), (0, nv - nv0), (0, 0)))
     v2d = verts_p.reshape(b * nv, c)
-    j2d = joints.reshape(b * nj, c)
-
-    on = jnp.einsum("ab,ij->aibj", jnp.eye(group, dtype=jnp.float32),
-                    jnp.ones((nv, nj), jnp.float32))
-    crossmask = -1e9 * (1.0 - on.reshape(group * nv, group * nj))
-    selfmask = jnp.where(jnp.arange(nv)[None, :] < nv0, 0.0, -1e9
-                         ).astype(jnp.float32)
+    j2d = jnp.pad(joints, ((0, 0), (0, nj - nj0), (0, 0))).reshape(
+        b * nj, c)
 
     mspace = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
 
@@ -322,20 +385,54 @@ def lbf_layers_fused_v2(verts, joints, layer_params, num_heads: int,
         nd = len(shape)
         return _spec(shape, lambda i, nd=nd: (0,) * nd)
 
-    for params in layer_params:
-        plist = [jnp.asarray(params[key]) for key in LAYER_PARAM_KEYS]
+    for lo in range(0, len(layer_params), layers_per_call):
+        chunk = layer_params[lo:lo + layers_per_call]
+        folded = fold_stack_params(chunk, num_heads,
+                                   dtype=dtype if dtype != jnp.float32
+                                   else jnp.float32)
+        plist = [folded[key] for key in STACK_PARAM_KEYS]
+        kwargs = {}
+        if not interpret and _HAVE_PLTPU:
+            # grid programs are independent sample tiles: tell Mosaic so
+            # it can pipeline block fetch/compute across programs
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
         v2d = pl.pallas_call(
-            functools.partial(_kernel_v2, num_heads=num_heads, dtype=dtype,
-                              g=group, nv=nv, nj=nj),
+            functools.partial(_kernel_stack, num_heads=num_heads,
+                              dtype=dtype, g=group, nv=nv, nj=nj,
+                              nv0=nv0, nj0=nj0, n_layers=len(chunk)),
             grid=(b // group,),
-            in_specs=[vspec, jspec, _const(crossmask.shape),
-                      _const(selfmask.shape)] + [_const(a.shape)
-                                                 for a in plist],
+            in_specs=[vspec, jspec] + [_const(a.shape) for a in plist],
             out_specs=vspec,
             out_shape=jax.ShapeDtypeStruct(v2d.shape, v2d.dtype),
             interpret=interpret,
-        )(v2d, j2d, crossmask, selfmask, *plist)
+            **kwargs,
+        )(v2d, j2d, *plist)
     return v2d.reshape(b, nv, c)[:, :nv0]
+
+
+def lbf_stack(verts, joints, layer_params, num_heads: int) -> jnp.ndarray:
+    """Platform-dispatched LBF stack (one fused program on TPU, per-layer
+    XLA elsewhere)."""
+    def run_xla(verts, joints, *flat):
+        k = len(LAYER_PARAM_KEYS)
+        for i in range(len(layer_params)):
+            p = dict(zip(LAYER_PARAM_KEYS, flat[i * k:(i + 1) * k]))
+            verts = lbf_layer_xla(verts, joints, p, num_heads)
+        return verts
+
+    flat = [p[key] for p in layer_params for key in LAYER_PARAM_KEYS]
+    if not _HAVE_PLTPU:
+        return run_xla(verts, joints, *flat)
+
+    def run_tpu(verts, joints, *flat):
+        k = len(LAYER_PARAM_KEYS)
+        ps = [dict(zip(LAYER_PARAM_KEYS, flat[i * k:(i + 1) * k]))
+              for i in range(len(layer_params))]
+        return lbf_stack_fused(verts, joints, ps, num_heads)
+
+    return jax.lax.platform_dependent(verts, joints, *flat,
+                                      tpu=run_tpu, default=run_xla)
 
 
 def extract_layer_params(mdr_params: Dict, layer: int,

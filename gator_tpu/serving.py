@@ -25,7 +25,7 @@ from .models.gator import GatorSpec
 from .models.mdr import conv1d_len3
 from .nn import HopPathEncoding
 from .nn.pallas_gat import extract_block_params, gat_blocks
-from .nn.pallas_mdr import extract_layer_params, lbf_layer
+from .nn.pallas_mdr import extract_layer_params, lbf_stack
 
 
 def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
@@ -117,9 +117,8 @@ def mdr_serving_forward(spec, params: Dict[str, Any],
     verts_feat = verts_feat + params["pos_v_id_embed"][
         jnp.arange(1, s.coarse_num + 1)].astype(dtype)
 
-    for layer in range(3):
-        lp = extract_layer_params(params, layer)
-        verts_feat = lbf_layer(verts_feat, joint_feat, lp, s.num_heads)
+    lps = [extract_layer_params(params, layer) for layer in range(3)]
+    verts_feat = lbf_stack(verts_feat, joint_feat, lps, s.num_heads)
 
     ac = dense(params["motion_linear"], verts_feat)
     mat_a, mat_c = ac[:, :, :s.num_basis], ac[:, :, -3:]

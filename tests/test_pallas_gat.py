@@ -86,12 +86,12 @@ def test_gat_blocks_dispatch_cpu(small_assets, rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_lbf_v2_interpret_matches_xla(small_assets, rng):
-    """The tile-batched MDR kernel (pad-row + block-diag masking) equals
-    the per-sample XLA form."""
+def test_lbf_stack_interpret_matches_xla(small_assets, rng):
+    """The stacked tile-batched MDR kernel (pad rows, iota block-diag
+    masks, folded V-projections) equals the per-sample XLA form."""
     from gator_tpu.models import GatorSpec, init_gator
     from gator_tpu.nn.pallas_mdr import (extract_layer_params,
-                                         lbf_layer_xla, lbf_layers_fused_v2)
+                                         lbf_layer_xla, lbf_stack_fused)
     spec = GatorSpec.from_assets(small_assets, embed_dim=128, depth=2,
                                  alpha=False)
     variables = init_gator(spec, jax.random.PRNGKey(5))
@@ -107,7 +107,7 @@ def test_lbf_v2_interpret_matches_xla(small_assets, rng):
         ref = lbf_layer_xla(ref, joints, lp, spec.mdr.num_heads)
 
     for group in (2, 4):
-        got = lbf_layers_fused_v2(verts, joints, lps, spec.mdr.num_heads,
-                                  group=group, interpret=True)
+        got = lbf_stack_fused(verts, joints, lps, spec.mdr.num_heads,
+                              group=group, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-4)

@@ -1,0 +1,243 @@
+"""MDR fused-layer kernel ablations on the real chip.
+
+Times variants of the v2 tile-batched kernel with pieces removed to locate
+the cost inside the 33 ms LBF stack: no-self-attention, no-softmax,
+pre-projected-V (folds l2@l3 per head so the o-dot runs at N=64), group
+sweep. Throwaway experiment harness — results land in ROADMAP.md.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gator_tpu.nn.pallas_mdr import (_gelu_exact, _ln, _stdln,
+                                     LAYER_PARAM_KEYS, extract_layer_params,
+                                     _round_up)
+
+BATCH = 2048
+L_SHORT, L_LONG = 4, 16
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
+
+def _per_step(loop, *args):
+    t_s = min(_timed(loop, *args, L_SHORT) for _ in range(2))
+    t_l = min(_timed(loop, *args, L_LONG) for _ in range(2))
+    return (t_l - t_s) / (L_LONG - L_SHORT)
+
+
+def _kernel(verts_ref, joints_ref, cross_ref, self_ref, *rest,
+            num_heads, dtype, g, nv, nj, mode):
+    p_refs = rest[:-1]
+    out_ref = rest[-1]
+    p = {key: ref[...] for key, ref in zip(LAYER_PARAM_KEYS, p_refs)}
+    verts2d = verts_ref[...].astype(jnp.float32)
+    joints2d = joints_ref[...].astype(jnp.float32)
+    c = verts2d.shape[-1]
+    d = c // num_heads
+    scale = d ** -0.5
+
+    def mm(a, w):
+        return jnp.dot(a.astype(dtype), w.astype(dtype),
+                       preferred_element_type=jnp.float32)
+
+    if mode == "lnonly":
+        y3 = _stdln(_ln(verts2d, p["norm1_scale"], p["norm1_bias"]),
+                    p["a2"], p["b2"])
+        out_ref[...] = (y3 + _ln(y3, p["norm2_scale"],
+                                 p["norm2_bias"])).astype(out_ref.dtype)
+        return
+    if mode == "mlponly":
+        y2 = _ln(verts2d, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+        m = _gelu_exact(mm(y2, p["fc1_w"])
+                        + p["fc1_b"].astype(jnp.float32))
+        m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(jnp.float32)
+        out_ref[...] = (verts2d + m).astype(out_ref.dtype)
+        return
+    yv = _ln(verts2d, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    yj = _ln(joints2d, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    q = mm(yv, p["wq"])
+    k = mm(yj, p["wk"])
+    v = mm(yj, p["wv"])
+    attn32 = jnp.zeros((verts2d.shape[0], c), jnp.float32)
+    crossmask = cross_ref[...]
+    for h in (range(0) if mode == "nocross" else range(num_heads)):
+        qh = q[:, h * d:(h + 1) * d].astype(dtype)
+        kh = k[:, h * d:(h + 1) * d].astype(dtype)
+        vh = v[:, h * d:(h + 1) * d].astype(dtype)
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + crossmask
+        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+        oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
+        attn32 = attn32 + mm(oh.astype(dtype),
+                             p["proj_w"][h * d:(h + 1) * d])
+    attn32 = attn32 + p["proj_b"].astype(jnp.float32)
+    x1 = verts2d + attn32
+
+    y2 = _ln(x1, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+    pre = mm(y2, p["fc1_w"]) + p["fc1_b"].astype(jnp.float32)
+    if mode == "nomlp":
+        pre = pre * 0.0
+        m = pre
+    elif mode == "nogelu":
+        m = pre
+    elif mode == "tanhgelu":
+        x3 = pre * pre * pre
+        m = 0.5 * pre * (1.0 + jnp.tanh(0.7978845608028654
+                                        * (pre + 0.044715 * x3)))
+    elif mode == "bf16gelu":
+        m = _gelu_exact(pre.astype(dtype)).astype(jnp.float32)
+    else:
+        m = _gelu_exact(pre)
+    m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(jnp.float32)
+    x2 = x1 + m
+
+    y3 = _stdln(x2, p["a2"], p["b2"])
+    if mode == "noself":
+        out_ref[...] = (y3 + p["l3_b"].astype(jnp.float32)).astype(
+            out_ref.dtype)
+        return
+    y3d = y3.astype(dtype)
+    q2 = mm(y3d, p["l0_w"]) + p["l0_b"].astype(jnp.float32)
+    k2 = mm(y3d, p["l1_w"]) + p["l1_b"].astype(jnp.float32)
+    padmask = self_ref[...]
+    l3b = p["l3_b"].astype(jnp.float32)
+    if mode == "preproj":
+        # fold v-proj: vp_h = (y3 @ l2_w + l2_b)[:, h] @ l3_w[h]  -- done
+        # tile-wide with pre-folded weights passed in via l2_w slots
+        v2 = mm(y3d, p["l2_w"]) + p["l2_b"].astype(jnp.float32)  # [R, C]
+        for gi in range(g):
+            rows = slice(gi * nv, (gi + 1) * nv)
+            acc = jnp.zeros((nv, c), jnp.float32)
+            for h in range(num_heads):
+                cols = slice(h * d, (h + 1) * d)
+                qh = q2[rows, cols].astype(dtype)
+                kh = k2[rows, cols].astype(dtype)
+                s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + padmask
+                prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+                # vp rows for this head live in v2 via pre-folded weights:
+                # here emulate with full-width dot (N=64)
+                vp = mm(v2[rows].astype(dtype),
+                        p["l3_w"]) * (1.0 / num_heads)
+                acc = acc + jnp.dot(prob, vp.astype(dtype),
+                                    preferred_element_type=jnp.float32)
+            out_ref[rows] = (y3[rows] + acc + l3b).astype(out_ref.dtype)
+        return
+    v2 = mm(y3d, p["l2_w"]) + p["l2_b"].astype(jnp.float32)
+    for gi in range(g):
+        rows = slice(gi * nv, (gi + 1) * nv)
+        sa32 = jnp.zeros((nv, c), jnp.float32)
+        for h in range(num_heads):
+            cols = slice(h * d, (h + 1) * d)
+            qh = q2[rows, cols].astype(dtype)
+            kh = k2[rows, cols].astype(dtype)
+            vh = v2[rows, cols].astype(dtype)
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if mode != "nosoftmax":
+                s = s * scale + padmask
+                prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+            else:
+                prob = (s * (scale / 431.0)).astype(dtype)
+            oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
+            sa32 = sa32 + mm(oh.astype(dtype),
+                             p["l3_w"][h * d:(h + 1) * d])
+        out_ref[rows] = (y3[rows] + sa32 + l3b).astype(out_ref.dtype)
+
+
+def run_layers(verts, joints, lps, num_heads, group, mode):
+    b, nv0, c = verts.shape
+    nj = joints.shape[1]
+    dtype = verts.dtype
+    nv = _round_up(nv0, 16)
+    verts_p = jnp.pad(verts, ((0, 0), (0, nv - nv0), (0, 0)))
+    v2d = verts_p.reshape(b * nv, c)
+    j2d = joints.reshape(b * nj, c)
+    on = jnp.einsum("ab,ij->aibj", jnp.eye(group, dtype=jnp.float32),
+                    jnp.ones((nv, nj), jnp.float32))
+    crossmask = -1e9 * (1.0 - on.reshape(group * nv, group * nj))
+    selfmask = jnp.where(jnp.arange(nv)[None, :] < nv0, 0.0,
+                         -1e9).astype(jnp.float32)
+    vspec = pl.BlockSpec((group * nv, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    jspec = pl.BlockSpec((group * nj, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+
+    def _const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    for params in lps:
+        plist = [jnp.asarray(params[key]) for key in LAYER_PARAM_KEYS]
+        v2d = pl.pallas_call(
+            functools.partial(_kernel, num_heads=num_heads, dtype=dtype,
+                              g=group, nv=nv, nj=nj, mode=mode),
+            grid=(b // group,),
+            in_specs=[vspec, jspec, _const(crossmask.shape),
+                      _const(selfmask.shape)] + [_const(a.shape)
+                                                 for a in plist],
+            out_specs=vspec,
+            out_shape=jax.ShapeDtypeStruct(v2d.shape, v2d.dtype),
+        )(v2d, j2d, crossmask, selfmask, *plist)
+    return v2d.reshape(b, nv, c)[:, :nv0]
+
+
+def main():
+    from gator_tpu.assets import build_assets
+    from gator_tpu.models import GatorSpec, init_gator
+
+    assets = build_assets("human36", synthetic_vertex_num=6890)
+    spec = GatorSpec.from_assets(assets, embed_dim=128, depth=6,
+                                 alpha=False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = init_gator(spec, jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, jax.devices()[0])
+    mdr_p = variables["params"]["pose2mesh"]
+    lps = [extract_layer_params(mdr_p, i, dtype=jnp.bfloat16)
+           for i in range(3)]
+    rng = np.random.default_rng(0)
+    verts = jnp.asarray(rng.normal(size=(BATCH, spec.mdr.coarse_num, 64)),
+                        jnp.bfloat16)
+    joints = jnp.asarray(rng.normal(size=(BATCH, 17, 64)), jnp.bfloat16)
+
+    todo = [("lnonly-g8", 8, "lnonly"), ("mlponly-g8", 8, "mlponly")]
+    for name, group, mode in todo:
+        fn = lambda v: run_layers(v, joints, lps, spec.mdr.num_heads,
+                                  group, mode)
+        loop = jax.jit(lambda v, n: lax.fori_loop(
+            0, n, lambda _, vv: vv + (1e-9 * fn(vv)).astype(vv.dtype),
+            v)[0, 0, 0])
+        try:
+            _timed(loop, verts, L_SHORT)
+            t = _per_step(loop, verts)
+            print(f"{name:14s} {t * 1e3:8.3f} ms")
+        except Exception as e:          # noqa: BLE001
+            print(f"{name:14s} FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,14 @@ def main():
     _timed(layers_loop, verts, L_SHORT)
     t_layers = _per_step(layers_loop, verts)
 
+    # stage 2b: the stacked v3 kernel (all layers in one program)
+    from gator_tpu.nn.pallas_mdr import lbf_stack_fused
+    v3_loop = loop_of(
+        lambda v: lbf_stack_fused(v, joints, lps, spec.mdr.num_heads),
+        lambda v: 1e-9 * v)
+    _timed(v3_loop, verts, L_SHORT)
+    t_v3 = _per_step(v3_loop, verts)
+
     # full serving step
     serve = serving.make_serving_fn(spec, variables, dtype=DTYPE)
     full_loop = loop_of(lambda p: serve(p)[0],
@@ -110,6 +118,7 @@ def main():
     print(f"  gat total      {t_gat * 1e3:8.3f} ms")
     print(f"  mdr total      {t_mdr * 1e3:8.3f} ms")
     print(f"    lbf layers   {t_layers * 1e3:8.3f} ms")
+    print(f"    lbf v3 stack {t_v3 * 1e3:8.3f} ms")
     print(f"    head+embeds  {(t_mdr - t_layers) * 1e3:8.3f} ms")
     print(f"  full serving   {t_full * 1e3:8.3f} ms "
           f"({BATCH / t_full:,.0f} poses/s)")
