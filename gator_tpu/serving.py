@@ -188,3 +188,24 @@ def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
         return mesh, pose3d
 
     return fn
+
+
+def make_sharded_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
+                            mesh=None, dtype=jnp.bfloat16,
+                            cast_weights: bool = True):
+    """Data-parallel serving over an ICI mesh: the pose batch is sharded
+    on its leading axis, weights are replicated, and each chip runs the
+    fused kernels on its local shard (shard_map — Pallas custom calls
+    don't auto-partition under GSPMD). The batch size must be a multiple
+    of the mesh size; pad with `parallel.pad_to_multiple` if ragged."""
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel import mesh as pmesh
+
+    mesh = mesh if mesh is not None else pmesh.make_mesh()
+    fn = make_serving_fn(spec, variables, dtype=dtype,
+                         cast_weights=cast_weights)
+    axis = mesh.axis_names[0]
+    sfn = jax.shard_map(fn, mesh=mesh, in_specs=P(axis),
+                        out_specs=(P(axis), P(axis)), check_vma=False)
+    return jax.jit(sfn)

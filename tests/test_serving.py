@@ -56,3 +56,23 @@ def test_lbf_layer_xla_matches_module_blocks(small_assets, rng):
         out = lbf_layer_xla(verts, joints, p, spec.mdr.num_heads)
         assert out.shape == verts.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_serving_matches_single(small_assets, rng):
+    """Data-parallel serving over the 8-device virtual mesh produces the
+    single-device results exactly (batch-sharded shard_map, replicated
+    weights)."""
+    from gator_tpu.parallel import make_mesh
+    from gator_tpu.serving import make_sharded_serving_fn
+
+    spec, variables = _setup(small_assets, False)
+    pose = jnp.asarray(rng.normal(size=(16, 17, 2)).astype(np.float32))
+
+    single = jax.jit(make_serving_fn(spec, variables, dtype=jnp.float32))
+    mesh_fn = make_sharded_serving_fn(spec, variables, mesh=make_mesh(),
+                                      dtype=jnp.float32)
+    m1, p1 = single(pose)
+    m8, p8 = mesh_fn(pose)
+    assert len(m8.sharding.device_set) == len(jax.devices())
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=1e-4)
