@@ -163,26 +163,19 @@ def assemble_batch(
     flips, rots = augm_params_batch(
         opts.is_train, opts.flip_enabled, opts.rotate_factor, b, rng)
 
-    # input assembly: vectorized fast path unless per-sample detector
-    # replacement / COCO noise synthesis is needed
-    scalar_path = (not opts.use_gt_input) and (
-        (not opts.is_train and detected_pose is not None)
-        or (opts.is_train and opts.input_joint_name == "coco"))
+    # input assembly: vectorized fast path unless per-sample test-time
+    # detector replacement is needed
+    scalar_path = (not opts.use_gt_input and not opts.is_train
+                   and detected_pose is not None)
     if scalar_path:
         pose2d = np.stack([
             processing.crop_and_normalize_input(
                 joint_img_b[row], jset, opts, rng, int(flips[row]),
-                float(rots[row]),
-                detected_pose=(detected_pose[row]
-                               if not opts.is_train
-                               and detected_pose is not None else None),
-                coco_noise_area=(processing.crop_area(
-                    joint_img_b[row], opts)
-                    if opts.is_train
-                    and opts.input_joint_name == "coco" else None))
+                float(rots[row]), detected_pose=detected_pose[row])
             for row in range(b)])
     else:
         noise = None
+        coco_noise = None
         if not opts.use_gt_input and opts.is_train \
                 and opts.input_joint_name == "human36" \
                 and h36m_stats is not None:
@@ -191,9 +184,14 @@ def assemble_batch(
                 for _ in range(b)])
             noise = noise / 256.0 * np.array(
                 [opts.input_shape[1], opts.input_shape[0]], np.float32)
+        if not opts.use_gt_input and opts.is_train \
+                and opts.input_joint_name == "coco":
+            coco_noise = {
+                "areas": processing.crop_area_batch(joint_img_b, opts),
+                "rng": rng}
         pose2d = processing.batch_crop_and_normalize(
             joint_img_b.astype(np.float32), jset, opts, flips, rots,
-            h36m_noise=noise)
+            h36m_noise=noise, coco_noise=coco_noise)
 
     # vectorized 3D-target augmentation (augment.j3d_processing math)
     def batch_j3d(s):

@@ -174,3 +174,138 @@ def synthesize_pose(joints: np.ndarray, area: float,
         synth[j, :2] = pick
         synth[j, 2] = 1
     return synth
+
+
+# per-joint probability tables, indexed by joint (reference:
+# noise_utils.py:70-243 — conditioned on the number of valid joints)
+def _table(vals_head, vals_mid, vals_tail, mid_idx, head_idx):
+    t = np.full(NUM_KPS, vals_tail, np.float32)
+    t[list(mid_idx)] = vals_mid
+    t[list(head_idx)] = vals_head
+    return t
+
+
+_JIT_LOW = _table(.15, .20, .25, range(1, 11), [0, 13, 14, 15, 16])
+_JIT_HIGH = _table(.10, .15, .20, range(1, 11), [0, 13, 14, 15, 16])
+_MISS_LOW = _table(.15, .20, .25, [5, 6, 15, 16], range(0, 5))
+_MISS_MID = _table(.10, .13, .15, [5, 6, 15, 16], range(0, 5))
+_MISS_HIGH = _table(.02, .05, .10, [5, 6, 15, 16], range(0, 5))
+_INV_P = _table(.01, .03, .06, range(5, 11), range(0, 5))
+_PAIR = np.array([(_pair_index(j) if _pair_index(j) is not None else -1)
+                  for j in range(NUM_KPS)], np.int64)
+
+
+def _annulus_batch(rng, centers, r_lo, r_hi, k, reject, reject_r):
+    """K candidates per row, uniform in the [r_lo, r_hi] annulus around
+    centers [B, 2]; reject = [(other [B,2], other_valid [B])] rejects
+    points within reject_r (or the point's own radius when None) of the
+    other centers. Returns (pts [B,K,2], accept [B,K])."""
+    b = centers.shape[0]
+    ang = rng.uniform(0, 2 * np.pi, (b, k))
+    r = (rng.uniform(size=(b, k)) * (r_hi - r_lo)[:, None]
+         + r_lo[:, None])
+    pts = centers[:, None, :] + np.stack(
+        [r * np.cos(ang), r * np.sin(ang)], axis=-1)
+    mask = np.ones((b, k), bool)
+    for other, ovalid in reject:
+        d = np.linalg.norm(pts - other[:, None, :], axis=-1)
+        rr = r if reject_r is None else reject_r[:, None]
+        mask &= np.where(ovalid[:, None], d > rr, True)
+    return pts.astype(np.float32), mask
+
+
+def _pick_accepted(rng, pts, mask):
+    """Uniform pick among each row's accepted candidates -> (pt [B,2],
+    ok [B])."""
+    cnt = mask.sum(-1)
+    u = rng.uniform(size=len(cnt))
+    m = np.minimum((u * np.maximum(cnt, 1)).astype(np.int64),
+                   np.maximum(cnt - 1, 0))
+    csum = np.cumsum(mask, axis=-1)
+    sel = np.argmax(csum == (m + 1)[:, None], axis=-1)
+    return pts[np.arange(len(cnt)), sel], cnt > 0
+
+
+def synthesize_pose_batch(joints: np.ndarray, areas: np.ndarray,
+                          rng: np.random.Generator,
+                          k: int = 64) -> np.ndarray:
+    """Batched `synthesize_pose`: joints [B, 17, 3], areas [B] ->
+    [B, 17, 3].
+
+    Same per-joint state machine and radii as the scalar form, vectorized
+    over the batch; joints are still processed IN ORDER so a joint's
+    rejection/inversion centers see earlier joints' already-synthesized
+    positions, exactly like the scalar loop. Two documented distribution
+    deviations, both confined to rare events: every state draws k=64
+    candidates (the scalar draws 125-2000, which only changes the
+    probability of the zero-accepted fallback), and the miss state picks
+    its center with weight n_pair/4 instead of the scalar's
+    floor(n_pair/4)-element resample.
+    """
+    b = joints.shape[0]
+    variances = (KPS_SIGMAS * 2) ** 2
+
+    def ks_dist(ks):
+        return np.sqrt(-2 * areas[:, None] * variances[None]
+                       * np.log(ks)).astype(np.float32)
+
+    ks10, ks50, ks85 = ks_dist(0.10), ks_dist(0.50), ks_dist(0.85)
+    synth = joints.copy().astype(np.float32)
+    num_valid = (joints[:, :, 2] > 0).sum(1)
+    ones = np.ones(b, bool)
+    zeros_r = np.zeros(b, np.float32)
+
+    for j in range(NUM_KPS):
+        gt = synth[:, j, :2].copy()
+        pair = int(_PAIR[j])
+        if pair >= 0:
+            pair_valid = joints[:, pair, 2] > 0
+            pair_pos = synth[:, pair, :2]
+        else:
+            pair_valid = np.zeros(b, bool)
+            pair_pos = np.zeros((b, 2), np.float32)
+
+        jitter_p = np.where(num_valid <= 10, _JIT_LOW[j], _JIT_HIGH[j])
+        miss_p = np.select([num_valid <= 5, num_valid <= 10],
+                           [_MISS_LOW[j], _MISS_MID[j]], _MISS_HIGH[j])
+        inv_p = np.full(b, _INV_P[j], np.float32)
+
+        jit_pt, jit_ok = _pick_accepted(rng, *_annulus_batch(
+            rng, gt, ks85[:, j], ks50[:, j], k,
+            [(pair_pos, pair_valid)], None))
+        good_pt, good_ok = _pick_accepted(rng, *_annulus_batch(
+            rng, gt, zeros_r, ks85[:, j], k,
+            [(pair_pos, pair_valid)], None))
+        inv_pt, inv_ok = _pick_accepted(rng, *_annulus_batch(
+            rng, pair_pos, zeros_r, ks50[:, j], k, [(gt, ones)], None))
+        inv_ok &= pair_valid
+
+        mg_pts, mg_m = _annulus_batch(
+            rng, gt, ks50[:, j], ks10[:, j], k,
+            [(pair_pos, pair_valid)], ks50[:, j])
+        mp_pts, mp_m = _annulus_batch(
+            rng, pair_pos, ks50[:, j], ks10[:, j], k, [(gt, ones)],
+            ks50[:, j])
+        mp_m &= pair_valid[:, None]
+        n_g = mg_m.sum(-1)
+        n_p = mp_m.sum(-1)
+        w_p = np.where(n_p >= 4, n_p / 4.0, 0.0)
+        total = n_g + w_p
+        take_pair = (rng.uniform(size=b) * np.maximum(total, 1e-9)) < w_p
+        mg_pt, _ = _pick_accepted(rng, mg_pts, mg_m)
+        mp_pt, _ = _pick_accepted(rng, mp_pts, mp_m)
+        miss_pt = np.where(take_pair[:, None], mp_pt, mg_pt)
+        miss_ok = total > 0
+
+        good_p = 1.0 - (jitter_p + miss_p + inv_p)
+        probs = np.stack([jitter_p * jit_ok, miss_p * miss_ok,
+                          inv_p * inv_ok, good_p * good_ok], axis=-1)
+        z = probs.sum(-1)
+        u = rng.uniform(size=b) * np.maximum(z, 1e-12)
+        state = np.minimum((u[:, None] >= np.cumsum(probs, -1)).sum(-1), 3)
+        cand = np.stack([jit_pt, miss_pt, inv_pt, good_pt], axis=1)
+        chosen = cand[np.arange(b), state]
+        dead = z <= 0
+        synth[:, j, :2] = np.where(dead[:, None], 0.0, chosen)
+        synth[:, j, 2] = np.where(dead, 0.0, 1.0)
+    return synth

@@ -86,10 +86,11 @@ def batch_crop_and_normalize(
     flip: np.ndarray,                      # [B] 0/1
     rot: np.ndarray,                       # [B] degrees
     h36m_noise: Optional[np.ndarray] = None,   # [B, J, 2] additive, or None
+    coco_noise: Optional[Dict] = None,     # {"areas": [B], "rng": Generator}
 ) -> np.ndarray:
     """Vectorized fast path of `crop_and_normalize_input` for whole batches
-    (GT-input and h36m-synthetic-noise modes; detector replacement and the
-    per-sample COCO noise simulator stay on the scalar path).
+    (GT-input, h36m-synthetic-noise, and COCO detector-noise modes;
+    test-time detector replacement stays on the scalar path).
 
     Math identical to the per-sample route: tight bbox -> aspect-snapped
     crop -> rotate-about-center affine -> optional noise -> optional flip ->
@@ -125,6 +126,16 @@ def batch_crop_and_normalize(
 
     if h36m_noise is not None:
         out = out + h36m_noise
+    if coco_noise is not None:
+        # detector-noise synthesis on the 17 coco keypoints in crop space
+        # (reference: Human36M/dataset.py:424-432); extra pelvis/neck rows
+        # pass through untouched
+        kps = np.concatenate(
+            [out[:, :17], np.ones((b, 17, 1), np.float32)], axis=2)
+        synth = noise.synthesize_pose_batch(
+            kps, coco_noise["areas"], coco_noise["rng"])
+        out = out.copy()
+        out[:, :17] = synth[:, :, :2]
     if flip.any():
         flipped = out.copy()
         flipped[..., 0] = res_w - flipped[..., 0] - 1
@@ -139,6 +150,21 @@ def batch_crop_and_normalize(
     mean = out.mean(axis=1, keepdims=True)
     std = out.std(axis=1, keepdims=True)
     return ((out - mean) / std).astype(np.float32)
+
+
+def crop_area_batch(joint_img: np.ndarray,
+                    opts: ProcessOptions) -> np.ndarray:
+    """Batched `crop_area` ([B, J, 2+] -> [B]). The aspect-snapped bbox
+    maps exactly onto the input resolution, so the post-crop area is
+    res_w*res_h for every valid bbox and 1.0 for degenerate ones (the
+    scalar form computes the same thing through three affine_transform
+    calls; pinned against it in tests)."""
+    w = joint_img[..., 0].max(1) - joint_img[..., 0].min(1)
+    h = joint_img[..., 1].max(1) - joint_img[..., 1].min(1)
+    valid = (w * h > 0) & (w >= 1) & (h >= 1)
+    res_w, res_h = opts.res_wh
+    return np.where(valid, float(res_w) * float(res_h), 1.0).astype(
+        np.float32)
 
 
 def crop_area(joint_img: np.ndarray, opts: ProcessOptions) -> float:

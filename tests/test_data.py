@@ -215,3 +215,82 @@ def test_batch_crop_matches_scalar_path(small_assets, rng):
             joints[i], jset, opts, np.random.default_rng(0),
             int(flips[i]), float(rots[i]))
         np.testing.assert_allclose(batch[i], scalar, atol=2e-4)
+
+
+def test_crop_area_batch_matches_scalar(small_assets):
+    from gator_tpu.data import processing
+    opts = processing.ProcessOptions(is_train=True,
+                                     input_joint_name="coco")
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(50, 900, size=(16, 19, 2)).astype(np.float32)
+    imgs[3] = imgs[3, :1]          # degenerate bbox row
+    batched = processing.crop_area_batch(imgs, opts)
+    scalar = np.array([processing.crop_area(imgs[i], opts)
+                       for i in range(len(imgs))], np.float32)
+    np.testing.assert_allclose(batched, scalar, rtol=1e-3)
+
+
+def test_synthesize_pose_batch_distribution():
+    """The batched COCO detector-noise simulator reproduces the scalar
+    form's per-joint output distribution (same state machine and radii;
+    joints processed in order either way)."""
+    from gator_tpu.data import noise
+
+    base = np.zeros((17, 3), np.float32)
+    grid = np.random.default_rng(0).uniform(60, 320, size=(17, 2))
+    base[:, :2] = grid
+    base[:, 2] = 1.0
+    area = 384.0 * 288.0
+    n = 400
+
+    rng_s = np.random.default_rng(11)
+    scalar = np.stack([noise.synthesize_pose(base, area, rng_s)
+                       for _ in range(n)])
+    rng_b = np.random.default_rng(22)
+    batched = noise.synthesize_pose_batch(
+        np.tile(base[None], (n, 1, 1)), np.full(n, area, np.float32),
+        rng_b)
+
+    vs, vb = scalar[..., 2] > 0, batched[..., 2] > 0
+    # valid rates agree (the zero-accepted fallback is rare for both)
+    assert abs(vs.mean() - vb.mean()) < 0.02
+    for j in range(17):
+        ms = scalar[vs[:, j], j, :2].mean(0)
+        mb = batched[vb[:, j], j, :2].mean(0)
+        ss = scalar[vs[:, j], j, :2].std(0)
+        # means within a few standard errors
+        np.testing.assert_allclose(mb, ms, atol=6 * ss.max() / np.sqrt(n))
+        # robust spread: median GT distance within 25% + 3 px (plain stds
+        # are swamped by the rare heavy-tailed miss/inversion outliers at
+        # this sample size), and far-outlier rates within binomial noise
+        ds = np.linalg.norm(scalar[:, j, :2] - base[j, :2], axis=-1)
+        db = np.linalg.norm(batched[:, j, :2] - base[j, :2], axis=-1)
+        assert abs(np.median(ds) - np.median(db)) \
+            < 0.25 * max(np.median(ds), np.median(db)) + 3.0
+        assert abs((ds > 200).mean() - (db > 200).mean()) < 0.03
+
+
+def test_coco_train_noise_batch_path(small_assets_coco):
+    """Train-time COCO detector-noise synthesis runs on the vectorized
+    path inside batch_crop_and_normalize (reference applies the scalar
+    simulator per sample: Human36M/dataset.py:424-432)."""
+    from gator_tpu.data import GtSynthesizer, SyntheticDataset
+    from gator_tpu.data.processing import ProcessOptions
+
+    synth = GtSynthesizer(small_assets_coco)
+    noisy_opts = ProcessOptions(input_joint_name="coco",
+                                use_gt_input=False, is_train=True)
+    clean_opts = ProcessOptions(input_joint_name="coco",
+                                use_gt_input=True, is_train=True)
+    ds_n = SyntheticDataset(small_assets_coco, noisy_opts, n=8, seed=0,
+                            synthesizer=synth)
+    ds_c = SyntheticDataset(small_assets_coco, clean_opts, n=8, seed=0,
+                            synthesizer=synth)
+    bn = ds_n.make_batch(np.arange(8), synth, np.random.default_rng(0))
+    bc = ds_c.make_batch(np.arange(8), synth, np.random.default_rng(0))
+    assert bn["pose2d"].shape == (8, 19, 2)
+    # noise perturbs the inputs but targets are identical
+    assert not np.allclose(bn["pose2d"], bc["pose2d"], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(bn["mesh"]),
+                               np.asarray(bc["mesh"]), atol=1e-6)
+    assert np.isfinite(bn["pose2d"]).all()
