@@ -69,3 +69,27 @@ def test_resume_training(tmp_path_factory, cfg_path):
     assert np.isfinite(err)
     names = os.listdir(os.path.join(exp, "checkpoint"))
     assert "final" in names   # epoch 2 == end -> final
+
+
+def test_serve_cli_batch(tmp_path, small_assets_coco):
+    """Batch serving: raw pixel keypoints in, mesh batch out, sharded over
+    the virtual device mesh with a ragged final chunk."""
+    import numpy as np
+    from gator_tpu.cli.serve import run_serve
+
+    rng = np.random.default_rng(0)
+    poses = rng.uniform(80, 400, size=(5, 17, 2)).astype(np.float32)
+    pose_path = str(tmp_path / "poses.npy")
+    np.save(pose_path, poses)
+    out_path = str(tmp_path / "meshes.npy")
+    res = run_serve(pose_path, joint_set="coco", output=out_path,
+                    joints_output=str(tmp_path / "j3d.npy"),
+                    obj_dir=str(tmp_path / "objs"), obj_every=3,
+                    batch_size=4, f32=True, assets=small_assets_coco)
+    meshes = np.load(out_path)
+    assert meshes.shape == (5, small_assets_coco.vertex_num, 3)
+    assert np.isfinite(meshes).all()
+    assert np.abs(meshes).max() < 5.0          # meter scale
+    assert res["joints3d"].shape == (5, 19, 3)
+    assert (tmp_path / "objs" / "mesh_000000.obj").exists()
+    assert (tmp_path / "objs" / "mesh_000003.obj").exists()
