@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
+import signal
 import time
 
 import jax
@@ -93,8 +94,9 @@ def main(argv=None):
         state = restored["state"]
         begin_epoch = int(restored["epoch"]) + 1
         loss_history = list(restored.get("train_log", []))
-        error_history = {k: list(v) for k, v in
-                         restored.get("test_log", error_history).items()}
+        th = restored.get("test_log") or {}
+        error_history = {"surface": list(th.get("surface", [])),
+                         "joint": list(th.get("joint", []))}
         if getattr(sess, "plateau", None) and restored.get("scheduler"):
             sess.plateau.load_state_dict(
                 {k: float(v) for k, v in restored["scheduler"].items()})
@@ -104,6 +106,18 @@ def main(argv=None):
     print(f"devices: {jax.device_count()} ({mesh})")
     state = replicate(mesh, state)
     dstep = jit_data_parallel(train_step, mesh)
+
+    # preemption safety: TPU pods deliver SIGTERM with a grace period —
+    # finish the in-flight step, write a resumable checkpoint, exit.
+    # (The reference has no preemption handling; its --resume_training is
+    # the recovery mechanism this checkpoint feeds.)
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        print("SIGTERM received: checkpointing at the end of this step")
+
+    signal.signal(signal.SIGTERM, _on_sigterm)
 
     end_epoch = args.epochs or cfg.TRAIN.end_epoch
     rng = jax.random.PRNGKey(cfg.seed)
@@ -125,6 +139,19 @@ def main(argv=None):
                 state, m = dstep(state, batch, rng)
             losses_dev.append(m["loss"])
             steps += 1
+            if preempted["flag"]:
+                # resume restarts this epoch (per-epoch checkpoint
+                # granularity, like the reference's resume path)
+                save_checkpoint(
+                    ckpt_dir, state, epoch - 1, loss_history,
+                    error_history,
+                    scheduler_state=(sess.plateau.state_dict()
+                                     if getattr(sess, "plateau", None)
+                                     else None))
+                print(f"preempted at epoch {epoch} step {steps}; "
+                      f"checkpoint written, resume with "
+                      f"--resume_training")
+                return best_joint_err
             if wandb_run is not None:
                 wandb_run.log({f"train_loss/{k}": float(v)
                                for k, v in m.items()})

@@ -93,3 +93,34 @@ def test_serve_cli_batch(tmp_path, small_assets_coco):
     assert res["joints3d"].shape == (5, 19, 3)
     assert (tmp_path / "objs" / "mesh_000000.obj").exists()
     assert (tmp_path / "objs" / "mesh_000003.obj").exists()
+
+
+def test_train_sigterm_checkpoints_and_resumes(tmp_path, cfg_path,
+                                               monkeypatch):
+    """Preemption safety: SIGTERM mid-epoch finishes the in-flight step,
+    writes a resumable checkpoint, and exits cleanly; --resume_training
+    picks it up."""
+    import signal as _signal
+
+    import gator_tpu.cli.train as train_cli
+    from gator_tpu.parallel import shard_batch as real_shard
+
+    calls = {"n": 0}
+
+    def tripwire(mesh, batch):
+        calls["n"] += 1
+        if calls["n"] == 2:          # SIGTERM during the second step
+            _signal.raise_signal(_signal.SIGTERM)
+        return real_shard(mesh, batch)
+
+    monkeypatch.setattr(train_cli, "shard_batch", tripwire)
+    exp = str(tmp_path / "exp")
+    train_cli.main(["--cfg", cfg_path, "--synthetic", "--epochs", "3",
+                    "--exp_dir", exp])
+    ckpts = os.listdir(os.path.join(exp, "checkpoint"))
+    assert any(c.startswith("checkpoint") for c in ckpts)
+
+    monkeypatch.setattr(train_cli, "shard_batch", real_shard)
+    err = train_cli.main(["--cfg", cfg_path, "--synthetic", "--epochs",
+                          "1", "--exp_dir", exp, "--resume_training"])
+    assert np.isfinite(err)
