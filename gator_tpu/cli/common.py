@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import os
 import os.path as osp
-from dataclasses import replace
 from typing import List, Optional, Tuple
 
 import jax

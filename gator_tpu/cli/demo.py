@@ -17,15 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assets import build_assets
-from ..config import load_config
-from ..convert import convert_checkpoint
 from ..data import augment, coords
 from ..models import GATOR, GatorSpec, init_gator
 from ..models.camera import (CamParams, crop_cam_to_orig_img,
                              fit_camera_adam, fit_camera_closed_form,
                              project_weak_perspective)
 from ..vis import render_mesh_overlay, save_obj, vis_2d_keypoints
-from .common import resolve_data_dirs
 from .test import load_weights
 
 VIRTUAL_CROP = 500  # square projection crop (reference: run.py:176)

@@ -9,7 +9,7 @@ created explicitly by the CLI, never at import.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import yaml
 

@@ -7,7 +7,7 @@ identical up to float rounding — so cv2 is not required.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

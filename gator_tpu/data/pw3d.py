@@ -17,7 +17,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..assets.bundle import GatorAssets
-from . import augment, coords, processing
+from . import coords, processing
 from .base import GENDERS
 from .gt_synth import GtSynthesizer
 

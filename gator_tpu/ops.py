@@ -9,7 +9,6 @@ hardware, and at 1723x6890 dense is both faster and simpler.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ is the fallback and the test-covered default in this environment.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
