@@ -117,6 +117,27 @@ class CocoDataset:
         d = data_kp[mask, :2] - smpl_kp[mask, :2]
         return float(np.sqrt((d ** 2).sum(1)).mean())
 
+    def _fitting_error_2d_batch(self, bboxes, kp_dataset, kp_valid,
+                                kp_from_smpl):
+        """Batched `_fitting_error_2d`: the 64x64 crop affine is a pure
+        similarity (rot 0), so the common translation cancels and the
+        error is (64 / square_bbox_width) * mean valid keypoint distance
+        in original image space — identical to mapping both sets through
+        the affine (pinned against the scalar form in tests)."""
+        w = bboxes[:, 2] - 1.0
+        h = bboxes[:, 3] - 1.0
+        wsq = np.maximum(w, h)
+        ok = (bboxes[:, 2] * bboxes[:, 3] > 0) \
+            & (bboxes[:, 2] >= 1) & (bboxes[:, 3] >= 1)
+        d = np.linalg.norm(
+            kp_dataset[..., :2] - kp_from_smpl[..., :2], axis=-1)
+        m = kp_valid[..., 0] == 1
+        cnt = m.sum(-1)
+        mean_d = (d * m).sum(-1) / np.maximum(cnt, 1)
+        scale = 64.0 / np.maximum(wsq, 1e-9)
+        return np.where(ok & (cnt > 0), scale * mean_d,
+                        np.inf).astype(np.float32)
+
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,
                    stage: str = "gator") -> Dict[str, np.ndarray]:
@@ -132,12 +153,9 @@ class CocoDataset:
 
         cc = coco_cam - coco_cam[:, -2:-1]
         jh = h36m_cam - h36m_cam[:, :1]
-        # 2D reprojection fitting filter stays per-sample (bbox-dependent
-        # affine); everything else is batched
-        fit_err = np.array([
-            self._fitting_error_2d(t.bbox[i], t.joint_img[i],
-                                   t.joint_valid[i], coco_img[row][:17])
-            for row, i in enumerate(idx)], np.float32)
+        fit_err = self._fitting_error_2d_batch(
+            t.bbox[idx], t.joint_img[idx], t.joint_valid[idx],
+            coco_img[:, :17])
         # COCO zeroes ALL validity masks on a bad fit (dataset.py:270)
         return assemble_batch(
             self.opts, self.joint_set, rng, stage,
