@@ -163,35 +163,30 @@ def assemble_batch(
     flips, rots = augm_params_batch(
         opts.is_train, opts.flip_enabled, opts.rotate_factor, b, rng)
 
-    # input assembly: vectorized fast path unless per-sample test-time
-    # detector replacement is needed
-    scalar_path = (not opts.use_gt_input and not opts.is_train
-                   and detected_pose is not None)
-    if scalar_path:
-        pose2d = np.stack([
-            processing.crop_and_normalize_input(
-                joint_img_b[row], jset, opts, rng, int(flips[row]),
-                float(rots[row]), detected_pose=detected_pose[row])
-            for row in range(b)])
-    else:
-        noise = None
-        coco_noise = None
-        if not opts.use_gt_input and opts.is_train \
-                and opts.input_joint_name == "human36" \
-                and h36m_stats is not None:
-            noise = np.stack([
-                noise_mod.generate_h36m_syn_error(h36m_stats, rng)
-                for _ in range(b)])
-            noise = noise / 256.0 * np.array(
-                [opts.input_shape[1], opts.input_shape[0]], np.float32)
-        if not opts.use_gt_input and opts.is_train \
-                and opts.input_joint_name == "coco":
-            coco_noise = {
-                "areas": processing.crop_area_batch(joint_img_b, opts),
-                "rng": rng}
-        pose2d = processing.batch_crop_and_normalize(
-            joint_img_b.astype(np.float32), jset, opts, flips, rots,
-            h36m_noise=noise, coco_noise=coco_noise)
+    # input assembly: fully vectorized (test-time detector keypoints ride
+    # the crop transform derived from the GT joints' bbox)
+    noise = None
+    coco_noise = None
+    dets = None
+    if not opts.use_gt_input and not opts.is_train \
+            and detected_pose is not None:
+        dets = detected_pose
+    if not opts.use_gt_input and opts.is_train \
+            and opts.input_joint_name == "human36" \
+            and h36m_stats is not None:
+        noise = np.stack([
+            noise_mod.generate_h36m_syn_error(h36m_stats, rng)
+            for _ in range(b)])
+        noise = noise / 256.0 * np.array(
+            [opts.input_shape[1], opts.input_shape[0]], np.float32)
+    if not opts.use_gt_input and opts.is_train \
+            and opts.input_joint_name == "coco":
+        coco_noise = {
+            "areas": processing.crop_area_batch(joint_img_b, opts),
+            "rng": rng}
+    pose2d = processing.batch_crop_and_normalize(
+        joint_img_b.astype(np.float32), jset, opts, flips, rots,
+        h36m_noise=noise, coco_noise=coco_noise, detected_pose=dets)
 
     # vectorized 3D-target augmentation (augment.j3d_processing math)
     def batch_j3d(s):

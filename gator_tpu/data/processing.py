@@ -87,10 +87,13 @@ def batch_crop_and_normalize(
     rot: np.ndarray,                       # [B] degrees
     h36m_noise: Optional[np.ndarray] = None,   # [B, J, 2] additive, or None
     coco_noise: Optional[Dict] = None,     # {"areas": [B], "rng": Generator}
+    detected_pose: Optional[np.ndarray] = None,  # [B, J, 2+] test dets
 ) -> np.ndarray:
-    """Vectorized fast path of `crop_and_normalize_input` for whole batches
-    (GT-input, h36m-synthetic-noise, and COCO detector-noise modes;
-    test-time detector replacement stays on the scalar path).
+    """Vectorized `crop_and_normalize_input` for whole batches: GT-input,
+    h36m-synthetic-noise, COCO detector-noise, and test-time detector
+    replacement (the crop transform still comes from the GT joints'
+    bbox; the detector keypoints ride through it —
+    reference: Human36M/dataset.py:421-453).
 
     Math identical to the per-sample route: tight bbox -> aspect-snapped
     crop -> rotate-about-center affine -> optional noise -> optional flip ->
@@ -118,7 +121,9 @@ def batch_crop_and_normalize(
     rad = np.pi * rot / 180.0
     cs, sn = np.cos(rad), np.sin(rad)
     k = res_w / w
-    rel = joint_img - np.stack([cx, cy], axis=1)[:, None, :]
+    src = (joint_img if detected_pose is None
+           else detected_pose[..., :2].astype(np.float32))
+    rel = src - np.stack([cx, cy], axis=1)[:, None, :]
     xr = cs[:, None] * rel[..., 0] + sn[:, None] * rel[..., 1]
     yr = -sn[:, None] * rel[..., 0] + cs[:, None] * rel[..., 1]
     out = np.stack([xr * k[:, None] + res_w / 2.0,

@@ -294,3 +294,28 @@ def test_coco_train_noise_batch_path(small_assets_coco):
     np.testing.assert_allclose(np.asarray(bn["mesh"]),
                                np.asarray(bc["mesh"]), atol=1e-6)
     assert np.isfinite(bn["pose2d"]).all()
+
+
+def test_batched_detector_replacement_matches_scalar(small_assets):
+    """Test-time detector replacement on the batched path equals the
+    scalar crop_and_normalize_input route (same GT-bbox crop transform
+    applied to the detector keypoints)."""
+    from gator_tpu.data import processing
+
+    rng = np.random.default_rng(4)
+    b, j = 6, 17
+    gt = rng.uniform(100, 800, size=(b, j, 2)).astype(np.float32)
+    det = (gt + rng.normal(0, 12, gt.shape)).astype(np.float32)
+    det3 = np.concatenate(
+        [det, np.ones((b, j, 1), np.float32)], axis=-1)
+    opts = processing.ProcessOptions(is_train=False, use_gt_input=False,
+                                     input_joint_name="human36")
+    jset = small_assets.joint_set
+    batched = processing.batch_crop_and_normalize(
+        gt, jset, opts, np.zeros(b, np.int64), np.zeros(b, np.float32),
+        detected_pose=det3)
+    scalar = np.stack([
+        processing.crop_and_normalize_input(
+            gt[i], jset, opts, np.random.default_rng(0), 0, 0.0,
+            detected_pose=det3[i]) for i in range(b)])
+    np.testing.assert_allclose(batched, scalar, atol=2e-4)
