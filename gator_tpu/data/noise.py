@@ -228,19 +228,21 @@ def _pick_accepted(rng, pts, mask):
 
 def synthesize_pose_batch(joints: np.ndarray, areas: np.ndarray,
                           rng: np.random.Generator,
-                          k: int = 64) -> np.ndarray:
+                          k: int = 256, k_miss: int = 512) -> np.ndarray:
     """Batched `synthesize_pose`: joints [B, 17, 3], areas [B] ->
     [B, 17, 3].
 
     Same per-joint state machine and radii as the scalar form, vectorized
     over the batch; joints are still processed IN ORDER so a joint's
     rejection/inversion centers see earlier joints' already-synthesized
-    positions, exactly like the scalar loop. Two documented distribution
-    deviations, both confined to rare events: every state draws k=64
-    candidates (the scalar draws 125-2000, which only changes the
-    probability of the zero-accepted fallback), and the miss state picks
-    its center with weight n_pair/4 instead of the scalar's
-    floor(n_pair/4)-element resample.
+    positions, exactly like the scalar loop. The miss state picks its
+    center with weight floor(n_pair/4) against n_gt, matching the scalar
+    form's floor(n/4)-element resample (a uniform pick among a
+    with-replacement resample is uniform over the accepted points, so the
+    weights match in distribution). Remaining documented deviation,
+    confined to a rare event: candidate counts are k=256 / k_miss=512 per
+    state vs the scalar's 125-2000, which only changes the probability of
+    the zero-accepted fallback state.
     """
     b = joints.shape[0]
     variances = (KPS_SIGMAS * 2) ** 2
@@ -281,15 +283,18 @@ def synthesize_pose_batch(joints: np.ndarray, areas: np.ndarray,
         inv_ok &= pair_valid
 
         mg_pts, mg_m = _annulus_batch(
-            rng, gt, ks50[:, j], ks10[:, j], k,
+            rng, gt, ks50[:, j], ks10[:, j], k_miss,
             [(pair_pos, pair_valid)], ks50[:, j])
         mp_pts, mp_m = _annulus_batch(
-            rng, pair_pos, ks50[:, j], ks10[:, j], k, [(gt, ones)],
+            rng, pair_pos, ks50[:, j], ks10[:, j], k_miss, [(gt, ones)],
             ks50[:, j])
         mp_m &= pair_valid[:, None]
         n_g = mg_m.sum(-1)
         n_p = mp_m.sum(-1)
-        w_p = np.where(n_p >= 4, n_p / 4.0, 0.0)
+        # scalar form resamples floor(n/4) of the pair-centered points and
+        # concatenates with the gt-centered ones before a uniform pick
+        # (reference: noise_utils.py miss branch) -> weight floor(n_p/4)
+        w_p = np.floor(n_p / 4.0)
         total = n_g + w_p
         take_pair = (rng.uniform(size=b) * np.maximum(total, 1e-9)) < w_p
         mg_pt, _ = _pick_accepted(rng, mg_pts, mg_m)

@@ -159,23 +159,31 @@ def batch_crop_and_normalize(
 
 def crop_area_batch(joint_img: np.ndarray,
                     opts: ProcessOptions) -> np.ndarray:
-    """Batched `crop_area` ([B, J, 2+] -> [B]). The aspect-snapped bbox
-    maps exactly onto the input resolution, so the post-crop area is
-    res_w*res_h for every valid bbox and 1.0 for degenerate ones (the
-    scalar form computes the same thing through three affine_transform
-    calls; pinned against it in tests)."""
-    w = joint_img[..., 0].max(1) - joint_img[..., 0].min(1)
-    h = joint_img[..., 1].max(1) - joint_img[..., 1].min(1)
-    valid = (w * h > 0) & (w >= 1) & (h >= 1)
-    res_w, res_h = opts.res_wh
-    return np.where(valid, float(res_w) * float(res_h), 1.0).astype(
+    """Batched `crop_area` ([B, J, 2+] -> [B]): post-crop area of the
+    TIGHT person bbox (the reference transforms the tight corners by the
+    crop affine, Human36M/dataset.py:424-431). The affine maps the
+    aspect-snapped bbox onto res_w x res_h with a uniform scale
+    k = res_w / proc_w, so the transformed tight area is the closed form
+    tight_w * tight_h * k^2 — pinned against the scalar/affine form in
+    tests. Degenerate bboxes (process_bbox -> None) get area 1.0."""
+    tight_w = joint_img[..., 0].max(1) - joint_img[..., 0].min(1)
+    tight_h = joint_img[..., 1].max(1) - joint_img[..., 1].min(1)
+    valid = (tight_w * tight_h > 0) & (tight_w >= 1) & (tight_h >= 1)
+    res_w, _ = opts.res_wh
+    aspect = opts.input_shape[1] / opts.input_shape[0]
+    # process_bbox: w' = w-1, h' = h-1, snapped up to the model aspect
+    proc_w = np.maximum(tight_w - 1.0, aspect * (tight_h - 1.0))
+    k = float(res_w) / np.where(proc_w > 0, proc_w, 1.0)
+    return np.where(valid, tight_w * tight_h * k * k, 1.0).astype(
         np.float32)
 
 
 def crop_area(joint_img: np.ndarray, opts: ProcessOptions) -> float:
-    """Area of the (aspect-snapped) person bbox after the crop transform —
-    the OKS area driving detector-noise radii
-    (reference: Human36M/dataset.py:425-430)."""
+    """Area of the TIGHT person bbox after the crop transform — the OKS
+    area driving detector-noise radii. The reference transforms the tight
+    bbox corners (xmin,ymin)/(xmax,ymin)/(xmax,ymax) with the crop affine
+    and multiplies the side lengths (reference: Human36M/dataset.py:424-431,
+    called with tight_bbox at :371)."""
     tight = coords.get_bbox(joint_img)
     aspect = opts.input_shape[1] / opts.input_shape[0]
     bbox = coords.process_bbox(tight, aspect)
@@ -183,7 +191,7 @@ def crop_area(joint_img: np.ndarray, opts: ProcessOptions) -> float:
         return 1.0
     _, trans = augment.j2d_processing(
         joint_img[:1].copy(), opts.res_wh, bbox, 0, 0, None)
-    x0, y0, w, h = bbox
+    x0, y0, w, h = tight
     p1 = augment.affine_transform(np.array([x0, y0]), trans)
     p2 = augment.affine_transform(np.array([x0 + w, y0]), trans)
     p3 = augment.affine_transform(np.array([x0 + w, y0 + h]), trans)

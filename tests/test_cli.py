@@ -19,6 +19,7 @@ def cfg_path():
     return CFG
 
 
+@pytest.mark.slow
 def test_train_then_test_cli(tmp_path_factory, cfg_path):
     from gator_tpu.cli.test import main as test_main
     from gator_tpu.cli.train import main as train_main
@@ -57,6 +58,7 @@ def test_pth_tar_weight_loading(tmp_path, cfg_path, small_assets):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_resume_training(tmp_path_factory, cfg_path):
     from gator_tpu.cli.train import main as train_main
 
@@ -95,6 +97,7 @@ def test_serve_cli_batch(tmp_path, small_assets_coco):
     assert (tmp_path / "objs" / "mesh_000003.obj").exists()
 
 
+@pytest.mark.slow
 def test_train_sigterm_checkpoints_and_resumes(tmp_path, cfg_path,
                                                monkeypatch):
     """Preemption safety: SIGTERM mid-epoch finishes the in-flight step,

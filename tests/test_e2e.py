@@ -3,6 +3,7 @@ eval, exactly the wiring the CLI uses."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gator_tpu import losses
 from gator_tpu.data import (BatchPipeline, GtSynthesizer, ProcessOptions,
@@ -13,6 +14,7 @@ from gator_tpu.train import (TrainState, make_gator_eval_step,
                              multistep_lr)
 
 
+@pytest.mark.slow
 def test_end_to_end_training_improves(small_assets):
     assets = small_assets
     synth = GtSynthesizer(assets)

@@ -61,3 +61,51 @@ def test_multistep_schedule_epoch_boundaries():
     assert float(sched(19)) == 1.0       # last step of epoch 2
     np.testing.assert_allclose(float(sched(20)), 0.1, rtol=1e-6)
     np.testing.assert_allclose(float(sched(40)), 0.01, rtol=1e-6)
+
+
+def test_plateau_state_survives_checkpoint_resume(tmp_path):
+    """Kill/resume round trip for the plateau controller: the counters and
+    the dropped lr ride in the checkpoint and restore through the exact
+    resume path cli/train.py uses (load_checkpoint -> load_state_dict ->
+    set_learning_rate)."""
+    from gator_tpu.train import load_checkpoint, pick_checkpoint, \
+        save_checkpoint
+
+    tx = make_optimizer("adam", 1e-3, inject=True)
+    params = {"w": jnp.ones((4,))}
+    state = TrainState.create({"params": params}, tx)
+
+    plateau = ReduceLROnPlateau(base_lr=1e-3, factor=0.1)
+    plateau.update(50.0)
+    for _ in range(12):                 # stall past patience -> lr drop
+        plateau.update(55.0)
+    plateau.update(56.0)                # partial bad-epoch count
+    assert plateau.lr == 1e-4 and plateau.num_bad_epochs == 2
+    state = set_learning_rate(state, plateau.lr)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, epoch=13,
+                    scheduler_state=plateau.state_dict())
+
+    # fresh process state: new controller at base lr, template TrainState
+    fresh = TrainState.create({"params": params}, tx)
+    restored = load_checkpoint(pick_checkpoint(ckpt_dir),
+                               target_state=fresh)
+    resumed = ReduceLROnPlateau(base_lr=1e-3, factor=0.1)
+    assert restored.get("scheduler"), "scheduler state missing from ckpt"
+    resumed.load_state_dict(
+        {k: float(v) for k, v in restored["scheduler"].items()})
+
+    assert resumed.lr == plateau.lr
+    assert resumed.best == plateau.best
+    assert resumed.num_bad_epochs == plateau.num_bad_epochs
+    # the injected optimizer lr restored with the TrainState
+    np.testing.assert_allclose(
+        float(restored["state"].opt_state.hyperparams["learning_rate"]),
+        plateau.lr, rtol=1e-6)   # f32 leaf vs python float
+    # and the controller continues from the restored counters: 10 more bad
+    # epochs trigger the NEXT drop exactly as the uninterrupted run would
+    for _ in range(10):
+        resumed.update(55.0)
+        plateau.update(55.0)
+    assert resumed.lr == plateau.lr == 1e-5

@@ -4,6 +4,7 @@ checkpoint that stage-2 GATOR loads as its lifter init
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 
@@ -23,6 +24,7 @@ def _write_cfg(path, model_name, extra_model=None):
         yaml.safe_dump(cfg, f)
 
 
+@pytest.mark.slow
 def test_stage1_then_stage2(tmp_path):
     from gator_tpu.cli.train import main as train_main
 
