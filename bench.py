@@ -74,6 +74,33 @@ def _per_step(loop, *args, l_short=L_SHORT, l_long=L_LONG, repeats=2):
     return (t_long - t_short) / (l_long - l_short)
 
 
+def bench_kernel_parity(spec, variables):
+    """On-chip numerics gate for the fused Pallas kernels (VERDICT r2 §2):
+    one batch through the fused serving path vs the math-identical pure-XLA
+    forms ON THE TPU — the layer interpret-mode tests cannot exercise the
+    real Mosaic lowering (A&S erf polynomial, f32 accumulate paths, pad-row
+    masks). Returns (max_abs_diff_f32, max_abs_diff_bf16) in meters over
+    the mesh output; f32 must be <=1e-4 m (the BASELINE parity target) or
+    the bench aborts."""
+    from gator_tpu.serving import make_serving_fn
+
+    pose = jnp.asarray(
+        np.random.default_rng(7).normal(size=(256, 17, 2)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        ref_mesh, _ = jax.jit(make_serving_fn(
+            spec, variables, dtype=jnp.float32, use_fused=False))(pose)
+        fused_mesh, _ = jax.jit(make_serving_fn(
+            spec, variables, dtype=jnp.float32))(pose)
+    bf16_mesh, _ = jax.jit(make_serving_fn(
+        spec, variables, dtype=jnp.bfloat16))(pose)
+    d32 = float(jnp.max(jnp.abs(fused_mesh - ref_mesh)))
+    d16 = float(jnp.max(jnp.abs(bf16_mesh.astype(jnp.float32) - ref_mesh)))
+    assert d32 <= 1e-4, (
+        f"on-chip fused-kernel f32 parity FAILED: max|diff| = {d32:.2e} m "
+        f"> 1e-4 m (bf16 path diff {d16:.2e} m)")
+    return d32, d16
+
+
 def bench_serving(spec, variables):
     from gator_tpu.serving import make_serving_fn
 
@@ -195,6 +222,7 @@ def main():
         variables = init_gator(spec, jax.random.PRNGKey(0))
     variables = jax.device_put(variables, jax.devices()[0])
 
+    kdiff32, kdiff16 = bench_kernel_parity(spec, variables)
     poses_per_sec, p50_ms, spread = bench_serving(spec, variables)
     train_pps = bench_train(spec, variables, assets.faces,
                             assets.j_regressor_h36m)
@@ -209,6 +237,8 @@ def main():
         "train_poses_per_sec": round(train_pps, 1),
         "host_batch_poses_per_sec": round(host_pps, 1),
         "spread": round(spread, 4),
+        "kernel_max_abs_diff_f32": kdiff32,
+        "kernel_max_abs_diff_bf16": kdiff16,
     }))
 
 

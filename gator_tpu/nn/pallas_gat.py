@@ -262,7 +262,7 @@ def _trunk_kernel(x_ref, bias_ref, m0_ref, m1_ref, *rest,
 
 
 def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
-                     group: int = 16, interpret: bool = False
+                     group: int | None = None, interpret: bool = False
                      ) -> jnp.ndarray:
     """Run the whole GAT trunk as ONE Pallas kernel.
 
@@ -271,6 +271,9 @@ def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
     """
     b, j, c = x.shape
     dtype = x.dtype
+    if group is None:
+        # f32 tiles cost twice the scoped VMEM of bf16; halve the group
+        group = 8 if dtype == jnp.float32 else 16
     while group > 1 and b % group:
         group //= 2
     r = group * j
@@ -356,6 +359,16 @@ def gat_block_xla(x, bias, p, masks_xfeat, num_heads: int) -> jnp.ndarray:
                     + p["fc1_b"].astype(dtype))
     m = m @ p["fc2_w"].astype(dtype) + p["fc2_b"].astype(dtype)
     return x + m.astype(x.dtype)
+
+
+def gat_blocks_xla(x, bias, block_params, masks_xfeat,
+                   num_heads: int) -> jnp.ndarray:
+    """Pure-XLA GAT trunk — the kernel's math oracle, callable on ANY
+    platform (the on-chip parity gate in bench.py runs it on the TPU
+    against the fused form)."""
+    for p in block_params:
+        x = gat_block_xla(x, bias, p, masks_xfeat, num_heads)
+    return x
 
 
 def gat_blocks(x, bias, block_params, masks_xfeat,

@@ -347,7 +347,7 @@ def _kernel_stack(verts_ref, joints_ref, *rest,
 
 
 def lbf_stack_fused(verts, joints, layer_params, num_heads: int,
-                    group: int = 8, layers_per_call: int = 1,
+                    group: int | None = None, layers_per_call: int = 1,
                     interpret: bool = False) -> jnp.ndarray:
     """Run the LBF stack as `ceil(L / layers_per_call)` pallas_calls.
 
@@ -361,6 +361,10 @@ def lbf_stack_fused(verts, joints, layer_params, num_heads: int,
     b, nv0, c = verts.shape
     nj0 = joints.shape[1]
     dtype = verts.dtype
+    if group is None:
+        # g=8 bf16 measures best and fits the 16 MB scoped-VMEM limit;
+        # f32 tiles are twice the bytes (g=8 f32 = 20.6 MB -> compile OOM)
+        group = 4 if dtype == jnp.float32 else 8
     while group > 1 and b % group:
         group //= 2
     nv = _round_up(nv0, 16)
@@ -409,6 +413,16 @@ def lbf_stack_fused(verts, joints, layer_params, num_heads: int,
             **kwargs,
         )(v2d, j2d, *plist)
     return v2d.reshape(b, nv, c)[:, :nv0]
+
+
+def lbf_stack_xla(verts, joints, layer_params,
+                  num_heads: int) -> jnp.ndarray:
+    """Pure-XLA LBF stack — the kernel's math oracle, callable on ANY
+    platform (the on-chip parity gate in bench.py runs it on the TPU
+    against the fused form)."""
+    for p in layer_params:
+        verts = lbf_layer_xla(verts, joints, p, num_heads)
+    return verts
 
 
 def lbf_stack(verts, joints, layer_params, num_heads: int) -> jnp.ndarray:

@@ -24,12 +24,13 @@ import jax.numpy as jnp
 from .models.gator import GatorSpec
 from .models.mdr import conv1d_len3
 from .nn import HopPathEncoding
-from .nn.pallas_gat import extract_block_params, gat_blocks
-from .nn.pallas_mdr import extract_layer_params, lbf_stack
+from .nn.pallas_gat import extract_block_params, gat_blocks, \
+    gat_blocks_xla
+from .nn.pallas_mdr import extract_layer_params, lbf_stack, lbf_stack_xla
 
 
 def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
-                        dtype=jnp.float32):
+                        dtype=jnp.float32, use_fused: bool = True):
     """GAT forward from the raw param tree (mirror of models.gat.GAT with
     deterministic=True; reference math: lib/models/GAT.py:133-152) with the
     6-block trunk running as fused Pallas kernels on TPU.
@@ -74,7 +75,8 @@ def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
 
     block_params = [extract_block_params(params, i, s.adjacency)
                     for i in range(s.depth)]
-    x = gat_blocks(x, bias, block_params, s.masks_xfeat, s.num_heads)
+    trunk = gat_blocks if use_fused else gat_blocks_xla
+    x = trunk(x, bias, block_params, s.masks_xfeat, s.num_heads)
 
     xn = params["norm"]
     feat32 = x.astype(jnp.float32)
@@ -91,7 +93,8 @@ def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
 
 def mdr_serving_forward(spec, params: Dict[str, Any],
                         batch_stats: Dict[str, Any] | None,
-                        x: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+                        x: jnp.ndarray, dtype=jnp.float32,
+                        use_fused: bool = True) -> jnp.ndarray:
     """MDR forward from the raw param tree (mirror of models.mdr.MDR with
     deterministic=True; reference math: lib/models/MDR.py:124-170)."""
     s = spec
@@ -118,7 +121,8 @@ def mdr_serving_forward(spec, params: Dict[str, Any],
         jnp.arange(1, s.coarse_num + 1)].astype(dtype)
 
     lps = [extract_layer_params(params, layer) for layer in range(3)]
-    verts_feat = lbf_stack(verts_feat, joint_feat, lps, s.num_heads)
+    stack = lbf_stack if use_fused else lbf_stack_xla
+    verts_feat = stack(verts_feat, joint_feat, lps, s.num_heads)
 
     ac = dense(params["motion_linear"], verts_feat)
     mat_a, mat_c = ac[:, :, :s.num_basis], ac[:, :, -3:]
@@ -156,13 +160,18 @@ def mdr_serving_forward(spec, params: Dict[str, Any],
 
 
 def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
-                    dtype=jnp.bfloat16, cast_weights: bool = True):
+                    dtype=jnp.bfloat16, cast_weights: bool = True,
+                    use_fused: bool = True):
     """-> jittable pose2d [B, J, 2] -> (mesh [B, V, 3], pose3d [B, J, 3]).
 
     With `cast_weights` (default) the f32 weights are cast to `dtype` once
     here instead of per call — halves the weight HBM traffic per step (the
     431->6890 upsample conv alone is 36 MB in f32). BatchNorm running
-    stats stay f32 (their rsqrt is precision-sensitive)."""
+    stats stay f32 (their rsqrt is precision-sensitive).
+
+    `use_fused=False` forces the math-identical pure-XLA forms of the two
+    fused kernels ON THE SAME PLATFORM — the on-chip numerics oracle for
+    the parity gate in bench.py."""
     if cast_weights and dtype != jnp.float32:
         params = jax.tree_util.tree_map(
             lambda a: a.astype(dtype)
@@ -179,12 +188,14 @@ def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
         b = pose2d.shape[0]
         pose2d = pose2d.reshape(b, spec.gat.num_joint, 2).astype(dtype)
         pose3d_flat, feat = gat_serving_forward(spec.gat, gat_params,
-                                                pose2d, dtype=dtype)
+                                                pose2d, dtype=dtype,
+                                                use_fused=use_fused)
         pose3d = pose3d_flat.reshape(b, spec.gat.num_joint, 3)
         pose_combine = jnp.concatenate(
             [pose2d, pose3d / 1000.0, feat], axis=2)
         mesh = mdr_serving_forward(spec.mdr, mdr_params, batch_stats,
-                                   pose_combine, dtype=dtype)
+                                   pose_combine, dtype=dtype,
+                                   use_fused=use_fused)
         return mesh, pose3d
 
     return fn

@@ -29,35 +29,65 @@ def make_gator_train_step(
     weights: losses.LossWeights,
     tx: optax.GradientTransformation,
     dtype=jnp.float32,
+    remat: bool = False,
+    fused: bool = False,
+    fused_interpret: bool = False,
 ) -> Callable:
     """Stage-2 step. batch dict keys: pose2d [B,J,2], mesh [B,V,3] (m),
     lift_pose3d [B,J,3] (mm), reg_pose3d [B,17,3] (mm), and validity masks
     mesh_valid / lift_valid / reg_valid that broadcast against their
     targets ([B,1,1] per-sample masks from the pipeline; [B,V,1]-style
     per-element masks also work).
+
+    dtype=bfloat16 runs the model compute in bf16 with f32 master params
+    (losses and the optimizer stay f32). remat=True rematerializes the
+    whole forward in the backward pass (policy: save nothing), capping the
+    activation footprint — the [B, H, 431, 431] attention-probability
+    tensors otherwise pin HBM and cap the batch size. fused=True (TPU)
+    routes the MDR LBF stack through the training Pallas kernels
+    (in-kernel PRNG dropout + hand-derived VJP, train/fused_forward.py):
+    no probability tensor ever reaches HBM in either pass.
     """
     model = GATOR(spec=spec, dtype=dtype)
     has_bn = not spec.mdr.alpha
     j_reg = jnp.asarray(j_regressor_target)
+
+    if fused:
+        from .fused_forward import make_fused_forward
+        apply_model = make_fused_forward(spec, dtype=dtype,
+                                         interpret=fused_interpret)
+    else:
+        def apply_model(params, batch_stats, pose2d, dropout_rng):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+                (mesh, lift_pose), upd = model.apply(
+                    variables, pose2d, deterministic=False,
+                    use_running_average=False,
+                    rngs={"dropout": dropout_rng},
+                    mutable=["batch_stats"])
+                new_bs = upd["batch_stats"]
+            else:
+                mesh, lift_pose = model.apply(
+                    variables, pose2d, deterministic=False,
+                    rngs={"dropout": dropout_rng})
+                new_bs = batch_stats
+            return mesh, lift_pose, new_bs
+
+    if remat and not fused:
+        apply_model = jax.checkpoint(
+            apply_model,
+            policy=jax.checkpoint_policies.nothing_saveable)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
              rng: jax.Array, edge_enabled: jnp.ndarray):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            variables = {"params": params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-                (mesh, lift_pose), upd = model.apply(
-                    variables, batch["pose2d"], deterministic=False,
-                    use_running_average=False,
-                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
-                new_bs = upd["batch_stats"]
-            else:
-                mesh, lift_pose = model.apply(
-                    variables, batch["pose2d"], deterministic=False,
-                    rngs={"dropout": dropout_rng})
-                new_bs = state.batch_stats
+            mesh, lift_pose, new_bs = apply_model(
+                params, state.batch_stats, batch["pose2d"], dropout_rng)
+            mesh = mesh.astype(jnp.float32)
+            lift_pose = lift_pose.astype(jnp.float32)
             # mesh->target-joint regression in mm (reference: base.py:136)
             pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh * 1000.0)
             out = losses.gator_loss(
