@@ -127,7 +127,12 @@ def bench_serving(spec, variables):
 
 def bench_train(spec, variables, faces, j_regressor):
     """Full stage-2 train step (reference hot loop: lib/core/base.py:122-183)
-    on synthetic tensors of the real training shapes."""
+    on synthetic tensors of the real training shapes.
+
+    Returns (fused_pps, f32_pps): the production config — bf16 compute,
+    fused LBF training kernels (in-kernel dropout + custom VJP), B=2048 —
+    and the reference-parity config (f32 XLA, B=512, the only batch that
+    fits without the fused kernels)."""
     import optax
 
     from gator_tpu import losses
@@ -135,40 +140,49 @@ def bench_train(spec, variables, faces, j_regressor):
     from gator_tpu.train.loop import make_gator_train_step
 
     tx = optax.adam(1e-4)
-    step = make_gator_train_step(
-        spec, faces, j_regressor, losses.LossWeights(), tx)
-    with jax.default_device(jax.devices("cpu")[0]):
-        state = TrainState.create(
-            jax.tree_util.tree_map(np.asarray, dict(variables)), tx)
-    state = jax.device_put(state, jax.devices()[0])
+    j, v = spec.gat.num_joint, spec.mdr.full_num
 
-    b, j, v = TRAIN_BATCH, spec.gat.num_joint, spec.mdr.full_num
-    rng = np.random.default_rng(1)
-    batch = {
-        "pose2d": rng.normal(size=(b, j, 2)).astype(np.float32),
-        "mesh": rng.normal(size=(b, v, 3)).astype(np.float32) * 0.1,
-        "lift_pose3d": rng.normal(size=(b, j, 3)).astype(np.float32) * 100,
-        "reg_pose3d": rng.normal(size=(b, 17, 3)).astype(np.float32) * 100,
-        "mesh_valid": np.ones((b, v, 1), np.float32),
-        "lift_valid": np.ones((b, j, 1), np.float32),
-        "reg_valid": np.ones((b, 17, 1), np.float32),
-    }
-    batch = jax.device_put({k: jnp.asarray(x) for k, x in batch.items()},
-                           jax.devices()[0])
-    key = jax.random.PRNGKey(0)
-    edge_on = jnp.asarray(1.0)
+    def measure(step_kwargs, b):
+        step = make_gator_train_step(
+            spec, faces, j_regressor, losses.LossWeights(), tx,
+            **step_kwargs)
+        with jax.default_device(jax.devices("cpu")[0]):
+            state = TrainState.create(
+                jax.tree_util.tree_map(np.asarray, dict(variables)), tx)
+        state = jax.device_put(state, jax.devices()[0])
+        rng = np.random.default_rng(1)
+        batch = {
+            "pose2d": rng.normal(size=(b, j, 2)).astype(np.float32),
+            "mesh": rng.normal(size=(b, v, 3)).astype(np.float32) * 0.1,
+            "lift_pose3d": rng.normal(size=(b, j, 3)).astype(
+                np.float32) * 100,
+            "reg_pose3d": rng.normal(size=(b, 17, 3)).astype(
+                np.float32) * 100,
+            "mesh_valid": np.ones((b, v, 1), np.float32),
+            "lift_valid": np.ones((b, j, 1), np.float32),
+            "reg_valid": np.ones((b, 17, 1), np.float32),
+        }
+        batch = jax.device_put(
+            {k: jnp.asarray(x) for k, x in batch.items()},
+            jax.devices()[0])
+        key = jax.random.PRNGKey(0)
+        edge_on = jnp.asarray(1.0)
 
-    def loop(st, n):
-        def body(_, s):
-            s, _m = step(s, batch, key, edge_on)
-            return s
-        st = lax.fori_loop(0, n, body, st)
-        return jax.tree_util.tree_leaves(st.params)[0].ravel()[0]
+        def loop(st, n):
+            def body(_, s):
+                s, _m = step(s, batch, key, edge_on)
+                return s
+            st = lax.fori_loop(0, n, body, st)
+            return jax.tree_util.tree_leaves(st.params)[0].ravel()[0]
 
-    jloop = jax.jit(loop)
-    _timed(jloop, state, 2)       # compile + warm
-    per_step = _per_step(jloop, state, l_short=2, l_long=8)
-    return TRAIN_BATCH / per_step
+        jloop = jax.jit(loop)
+        _timed(jloop, state, 2)       # compile + warm
+        per_step = _per_step(jloop, state, l_short=2, l_long=8)
+        return b / per_step
+
+    fused_pps = measure(dict(dtype=jnp.bfloat16, fused=True), 2048)
+    f32_pps = measure({}, TRAIN_BATCH)
+    return fused_pps, f32_pps
 
 
 def bench_host_pipeline(assets):
@@ -224,8 +238,8 @@ def main():
 
     kdiff32, kdiff16 = bench_kernel_parity(spec, variables)
     poses_per_sec, p50_ms, spread = bench_serving(spec, variables)
-    train_pps = bench_train(spec, variables, assets.faces,
-                            assets.j_regressor_h36m)
+    train_pps, train_f32_pps = bench_train(spec, variables, assets.faces,
+                                           assets.j_regressor_h36m)
     host_pps = bench_host_pipeline(assets)
 
     print(json.dumps({
@@ -235,6 +249,7 @@ def main():
         "vs_baseline": round(poses_per_sec / 10000.0, 3),
         "p50_latency_ms": round(p50_ms, 3),
         "train_poses_per_sec": round(train_pps, 1),
+        "train_f32_xla_poses_per_sec": round(train_f32_pps, 1),
         "host_batch_poses_per_sec": round(host_pps, 1),
         "spread": round(spread, 4),
         "kernel_max_abs_diff_f32": kdiff32,

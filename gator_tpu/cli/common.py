@@ -142,21 +142,34 @@ class Session:
         return make_optimizer(cfg.TRAIN.optimizer, sched)
 
     def make_steps(self, tx):
+        import jax as _jax
+        import jax.numpy as _jnp
+
         cfg = self.cfg
+        train_dtype = (_jnp.bfloat16
+                       if cfg.TRAIN.precision == "bfloat16"
+                       else _jnp.float32)
+        if cfg.TRAIN.fused_kernels == "auto":
+            # the fused LBF training kernels need a real TPU lowering
+            fused = _jax.default_backend() not in ("cpu", "gpu")
+        else:
+            fused = cfg.TRAIN.fused_kernels == "on"
         if self.is_gator:
             train_step = make_gator_train_step(
                 self.spec, self.assets.faces, self.target_regressor,
                 losses.LossWeights(
                     normal=cfg.MODEL.normal_loss_weight,
                     edge=cfg.MODEL.edge_loss_weight,
-                    joint=cfg.MODEL.joint_loss_weight), tx)
+                    joint=cfg.MODEL.joint_loss_weight), tx,
+                dtype=train_dtype, fused=fused)
             eval_step = make_gator_eval_step(
                 self.spec, self.target_regressor,
                 self.assets.joint_set.eval_joints
                 if self.assets.joint_set.name == "human36" else
                 (1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16))
         else:
-            train_step = make_gat_train_step(self.spec, tx)
+            train_step = make_gat_train_step(self.spec, tx,
+                                             dtype=train_dtype)
             eval_step = make_gat_eval_step(
                 self.spec, self.assets.joint_set.eval_joints)
         return train_step, eval_step

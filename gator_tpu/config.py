@@ -56,6 +56,11 @@ class TrainConfig:
     lr_factor: float = 0.1
     optimizer: str = "adam"
     wandb: bool = False
+    # beyond-reference TPU knobs: "bfloat16" trains with bf16 compute and
+    # f32 master params; fused_kernels routes the MDR LBF stack through
+    # the training Pallas kernels ("auto" = on for TPU backends)
+    precision: str = "float32"
+    fused_kernels: str = "auto"      # "auto" | "on" | "off"
 
 
 @dataclasses.dataclass(frozen=True)

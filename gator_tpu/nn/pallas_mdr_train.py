@@ -67,7 +67,10 @@ class TrainLayerCfg:
     layer: int                  # layer index (seeds the PRNG stream)
     rates: tuple = DEFAULT_RATES
     group_fwd: int = 4
-    group_bwd: int = 2
+    # one sample per backward program: the recompute+bwd body is ~3x the
+    # forward and the sample loop unrolls — g=2 measured >9 min Mosaic
+    # compiles through the relay
+    group_bwd: int = 1
     interpret: bool = False
 
 
@@ -133,12 +136,19 @@ def _make_mask_fn(seed, layer, sample, rates):
     """mask(mid, shape, rate) -> scaled keep mask (f32) or None.
 
     Each mask has its own PRNG stream, so forward and backward regenerate
-    identical masks with no draw-order coupling."""
+    identical masks with no draw-order coupling. Mosaic's prng_seed takes
+    AT MOST two seed words, so (seed, layer, sample, mask-id) folds into
+    two: layer perturbs the base seed by a Weyl constant; (sample, mid)
+    pack injectively into the second word (mid < 16)."""
+    s1 = seed + layer * jnp.int32(0x61C88647)
+
+    def _seed_for(mid):
+        pltpu.prng_seed(s1, sample * 16 + mid)
 
     def mask(mid, shape, rate):
         if rate == 0.0:
             return None
-        pltpu.prng_seed(seed, layer, sample, mid)
+        _seed_for(mid)
         bits = pltpu.prng_random_bits(shape)
         u = jax.lax.shift_right_logical(bits.astype(jnp.uint32),
                                         jnp.uint32(8))
@@ -148,7 +158,7 @@ def _make_mask_fn(seed, layer, sample, rates):
     def scalar_mask(mid, rate):
         if rate == 0.0:
             return None
-        pltpu.prng_seed(seed, layer, sample, mid)
+        _seed_for(mid)
         bits = pltpu.prng_random_bits((8, 128))
         u = jax.lax.shift_right_logical(bits.astype(jnp.uint32),
                                         jnp.uint32(8))[0, 0]
@@ -574,7 +584,7 @@ lbf_layer_train.defvjp(_vjp_fwd, _vjp_bwd)
 
 def lbf_stack_train(x, jt, layer_params: Sequence[Dict], num_heads: int,
                     seed, rates=DEFAULT_RATES, interpret: bool = False,
-                    group_fwd: int = 4, group_bwd: int = 2):
+                    group_fwd: int = 4, group_bwd: int = 1):
     """The 3-layer LBF stack in training mode (fused kernels with
     in-kernel dropout + custom VJP). jt is shared by every layer; its
     gradient accumulates across layers through the chain rule."""

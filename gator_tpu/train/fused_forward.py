@@ -37,7 +37,7 @@ def mdr_train_forward(spec, params: Dict[str, Any],
                       x: jnp.ndarray, seed: jnp.ndarray,
                       dtype=jnp.bfloat16, rates=DEFAULT_RATES,
                       interpret: bool = False,
-                      group_fwd: int = 4, group_bwd: int = 2
+                      group_fwd: int = 4, group_bwd: int = 1
                       ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """MDR in train mode from the raw param tree. Returns (mesh, new
     batch_stats). Mirrors models/mdr.py MDR.__call__ with
@@ -115,7 +115,7 @@ def mdr_train_forward(spec, params: Dict[str, Any],
 
 def make_fused_forward(spec: GatorSpec, dtype=jnp.bfloat16,
                        rates=DEFAULT_RATES, interpret: bool = False,
-                       group_fwd: int = 4, group_bwd: int = 2,
+                       group_fwd: int = 4, group_bwd: int = 1,
                        gat_deterministic: bool = False):
     """-> fwd(params, batch_stats, pose2d, dropout_rng) ->
     (mesh, pose3d, new_batch_stats).

@@ -147,6 +147,29 @@ def _kernel(verts_ref, joints_ref, cross_ref, self_ref, *rest,
             out_ref[rows] = (y3[rows] + acc + l3b).astype(out_ref.dtype)
         return
     v2 = mm(y3d, p["l2_w"]) + p["l2_b"].astype(jnp.float32)
+    if mode == "fold1dot":
+        # both heads' prob@V dots fold into ONE K=2*nv dot: concat the
+        # per-head probs along lanes and the l3-projected V rows along
+        # sublanes (judge lever: two 32-wide heads -> one padded dot)
+        for gi in range(g):
+            rows = slice(gi * nv, (gi + 1) * nv)
+            probs, vfold = [], []
+            for h in range(num_heads):
+                cols = slice(h * d, (h + 1) * d)
+                qh = q2[rows, cols].astype(dtype)
+                kh = k2[rows, cols].astype(dtype)
+                s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale + padmask
+                probs.append(jax.nn.softmax(s, axis=-1).astype(dtype))
+                vfold.append(mm(v2[rows, cols].astype(dtype),
+                                p["l3_w"][cols]).astype(dtype))
+            pcat = jnp.concatenate(probs, axis=1)
+            vcat = jnp.concatenate(vfold, axis=0)
+            sa32 = jnp.dot(pcat, vcat,
+                           preferred_element_type=jnp.float32)
+            out_ref[rows] = (y3[rows] + sa32 + l3b).astype(out_ref.dtype)
+        return
     for gi in range(g):
         rows = slice(gi * nv, (gi + 1) * nv)
         sa32 = jnp.zeros((nv, c), jnp.float32)
@@ -157,7 +180,12 @@ def _kernel(verts_ref, joints_ref, cross_ref, self_ref, *rest,
             vh = v2[rows, cols].astype(dtype)
             s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            if mode != "nosoftmax":
+            if mode == "bf16smax":
+                # judge lever: bf16 softmax accumulation — scores drop to
+                # bf16 right after the mask, exp/sum run in bf16
+                s = s * scale + padmask
+                prob = jax.nn.softmax(s.astype(dtype), axis=-1)
+            elif mode != "nosoftmax":
                 s = s * scale + padmask
                 prob = jax.nn.softmax(s, axis=-1).astype(dtype)
             else:
@@ -224,7 +252,10 @@ def main():
                         jnp.bfloat16)
     joints = jnp.asarray(rng.normal(size=(BATCH, 17, 64)), jnp.bfloat16)
 
-    todo = [("lnonly-g8", 8, "lnonly"), ("mlponly-g8", 8, "mlponly")]
+    todo = [("full-g8", 8, "full"), ("bf16smax-g8", 8, "bf16smax"),
+            ("fold1dot-g8", 8, "fold1dot")]
+    if len(sys.argv) > 1:
+        todo = [(f"{m}-g8", 8, m) for m in sys.argv[1:]]
     for name, group, mode in todo:
         fn = lambda v: run_layers(v, joints, lps, spec.mdr.num_heads,
                                   group, mode)
