@@ -95,7 +95,9 @@ def make_gator_train_step(
                 batch["mesh"], batch["reg_pose3d"], batch["lift_pose3d"],
                 batch["mesh_valid"], batch["reg_valid"],
                 batch["lift_valid"],
-                faces, weights, edge_enabled)
+                faces, weights, edge_enabled,
+                face_loss_dtype=(dtype if dtype != jnp.float32
+                                 else None))
             return out.total, (out, new_bs)
 
         grads, (out, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

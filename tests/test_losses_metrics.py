@@ -167,3 +167,30 @@ def test_accel_error(rng):
     out = np.asarray(metrics.accel_error(jnp.asarray(seq), jnp.asarray(seq)))
     assert out.shape == (8,)
     np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+def test_corner_gather_custom_vjp_matches_autodiff(small_assets):
+    """The scatter-free loss backward (incidence-table gather+sum) must
+    equal XLA's scatter-add autodiff exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gator_tpu import losses
+
+    faces = np.asarray(small_assets.faces)
+    v = small_assets.mean_vertices.shape[0]
+    rng = np.random.default_rng(0)
+    mesh = jnp.asarray(rng.normal(size=(3, v, 3)) * 0.1, jnp.float32)
+    gt = jnp.asarray(rng.normal(size=(3, v, 3)) * 0.1, jnp.float32)
+    cg = losses.make_corner_gather(faces, v)
+
+    for loss_fn in (losses.normal_vector_loss, losses.edge_length_loss):
+        g_fast = jax.grad(
+            lambda m: loss_fn(m, gt, faces, corner_gather=cg))(mesh)
+        g_ref = jax.grad(lambda m: loss_fn(m, gt, faces))(mesh)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   atol=1e-7, err_msg=loss_fn.__name__)
+    # values unchanged too
+    a = losses.normal_vector_loss(mesh, gt, faces, corner_gather=cg)
+    b = losses.normal_vector_loss(mesh, gt, faces)
+    np.testing.assert_allclose(float(a), float(b), rtol=1e-7)
