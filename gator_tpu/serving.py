@@ -30,10 +30,16 @@ from .nn.pallas_mdr import extract_layer_params, lbf_stack, lbf_stack_xla
 
 
 def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
-                        dtype=jnp.float32, use_fused: bool = True):
+                        dtype=jnp.float32, use_fused: bool = True,
+                        trunk=None):
     """GAT forward from the raw param tree (mirror of models.gat.GAT with
     deterministic=True; reference math: lib/models/GAT.py:133-152) with the
     6-block trunk running as fused Pallas kernels on TPU.
+
+    `trunk`: optional override fn(x, bias, block_params) -> x — the
+    training path injects the dropout-capable fused trunk here
+    (train/fused_forward.py); everything around it (embeds, hop/path
+    bias, final norm, lifter) is shared, differentiable jnp.
 
     Returns (pose3d [B, 3*J], features [B, J, C])."""
     s = spec
@@ -75,8 +81,11 @@ def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
 
     block_params = [extract_block_params(params, i, s.adjacency)
                     for i in range(s.depth)]
-    trunk = gat_blocks if use_fused else gat_blocks_xla
-    x = trunk(x, bias, block_params, s.masks_xfeat, s.num_heads)
+    if trunk is not None:
+        x = trunk(x, bias, block_params)
+    else:
+        trunk_fn = gat_blocks if use_fused else gat_blocks_xla
+        x = trunk_fn(x, bias, block_params, s.masks_xfeat, s.num_heads)
 
     xn = params["norm"]
     feat32 = x.astype(jnp.float32)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..models.gat import GAT
 from ..models.gator import GatorSpec
 from ..models.mdr import conv1d_len3
+from ..nn.pallas_gat_train import gat_trunk_train
 from ..nn.pallas_mdr import extract_layer_params
 from ..nn.pallas_mdr_train import DEFAULT_RATES, lbf_stack_train
 
@@ -116,14 +117,17 @@ def mdr_train_forward(spec, params: Dict[str, Any],
 def make_fused_forward(spec: GatorSpec, dtype=jnp.bfloat16,
                        rates=DEFAULT_RATES, interpret: bool = False,
                        group_fwd: int = 4, group_bwd: int = 1,
-                       gat_deterministic: bool = False):
+                       gat_deterministic: bool = False,
+                       fused_gat: bool = True,
+                       gat_mlp_rate: float = 0.1):
     """-> fwd(params, batch_stats, pose2d, dropout_rng) ->
     (mesh, pose3d, new_batch_stats).
 
     Drop-in replacement for GATOR.apply(deterministic=False,
-    use_running_average=False) with the LBF stack on the training
-    kernels. batch_stats is the 'pose2mesh' sub-tree's parent (the full
-    batch_stats collection), as stored on TrainState."""
+    use_running_average=False) with BOTH hot stacks on training kernels:
+    the GAT trunk (fused_gat=True; dropout rates from the spec, GatMlp's
+    fixed 0.1 via gat_mlp_rate) and the MDR LBF stack. batch_stats is
+    the full batch_stats collection, as stored on TrainState."""
     gat_model = GAT(spec=spec.gat, dtype=dtype)
     s = spec
 
@@ -134,12 +138,30 @@ def make_fused_forward(spec: GatorSpec, dtype=jnp.bfloat16,
             jax.random.fold_in(dropout_rng, 0), (1,), 0,
             jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         gat_rng = jax.random.fold_in(dropout_rng, 1)
-        # gat_deterministic=True exists for parity tests only: GatMlp's
-        # dropout is FIXED at 0.1 (reference quirk) so zeroing the spec
-        # rates cannot silence the lifter's randomness
-        pose3d_flat, feat = gat_model.apply(
-            {"params": params["pose_lifter"]}, pose2d.reshape(b, -1),
-            deterministic=gat_deterministic, rngs={"dropout": gat_rng})
+        if fused_gat:
+            from ..serving import gat_serving_forward
+
+            def trunk(x, bias, block_params):
+                return gat_trunk_train(
+                    x, bias, block_params, s.gat.masks_xfeat,
+                    s.gat.num_heads, seed,
+                    attn_rate=s.gat.attn_drop_rate,
+                    proj_rate=s.gat.drop_rate,
+                    mlp_rate=gat_mlp_rate,
+                    drop_path_rate=s.gat.drop_path_rate,
+                    interpret=interpret)
+
+            pose3d_flat, feat = gat_serving_forward(
+                s.gat, params["pose_lifter"], pose2d, dtype=dtype,
+                trunk=trunk)
+        else:
+            # flax fallback path; gat_deterministic=True exists for
+            # parity tests only (GatMlp's dropout is FIXED at 0.1, so
+            # zeroing the spec rates cannot silence it)
+            pose3d_flat, feat = gat_model.apply(
+                {"params": params["pose_lifter"]}, pose2d.reshape(b, -1),
+                deterministic=gat_deterministic,
+                rngs={"dropout": gat_rng})
         pose3d = pose3d_flat.reshape(b, s.gat.num_joint, 3)
         pose_combine = jnp.concatenate(
             [pose2d, pose3d.astype(dtype) / 1000.0, feat.astype(dtype)],

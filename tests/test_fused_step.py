@@ -48,7 +48,8 @@ def _flax_train_forward(spec, variables, pose2d):
 def test_fused_forward_matches_flax(setup):
     assets, spec, variables, pose2d = setup
     fwd = make_fused_forward(spec, dtype=jnp.float32, rates=ZERO_RATES,
-                             interpret=True, gat_deterministic=True)
+                             interpret=True, gat_deterministic=True,
+                             fused_gat=False)
     mesh_f, pose3d_f, bs_f = fwd(variables["params"],
                                  variables["batch_stats"], pose2d,
                                  jax.random.PRNGKey(1))
@@ -68,7 +69,8 @@ def test_fused_forward_matches_flax(setup):
 def test_fused_forward_grads_match_flax(setup):
     assets, spec, variables, pose2d = setup
     fwd = make_fused_forward(spec, dtype=jnp.float32, rates=ZERO_RATES,
-                             interpret=True, gat_deterministic=True)
+                             interpret=True, gat_deterministic=True,
+                             fused_gat=False)
 
     def loss_fused(params):
         mesh, pose3d, _ = fwd(params, variables["batch_stats"], pose2d,
@@ -135,3 +137,54 @@ def test_fused_train_step_runs_and_learns(setup):
     bs0 = state.batch_stats["pose2mesh"]["bias_norm"]["mean"]
     bs1 = state2.batch_stats["pose2mesh"]["bias_norm"]["mean"]
     assert not np.allclose(np.asarray(bs0), np.asarray(bs1))
+
+
+def test_fused_gat_trunk_forward_and_grads_match_flax(setup):
+    """The FUSED-GAT training path (kernel trunk, zero rates incl. the
+    GatMlp quirk rate) vs flax GATOR deterministic: outputs + grads."""
+    assets, spec, variables, pose2d = setup
+    fwd = make_fused_forward(spec, dtype=jnp.float32, rates=ZERO_RATES,
+                             interpret=True, fused_gat=True,
+                             gat_mlp_rate=0.0)
+    mesh_f, pose3d_f, _ = fwd(variables["params"],
+                              variables["batch_stats"], pose2d,
+                              jax.random.PRNGKey(1))
+    mesh_x, pose3d_x, _ = _flax_train_forward(spec, variables, pose2d)
+    np.testing.assert_allclose(np.asarray(mesh_f), np.asarray(mesh_x),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pose3d_f),
+                               np.asarray(pose3d_x), atol=2e-3)
+
+    def loss_fused(params):
+        mesh, pose3d, _ = fwd(params, variables["batch_stats"], pose2d,
+                              jax.random.PRNGKey(1))
+        return (mesh.astype(jnp.float32) ** 2).sum() \
+            + 1e-6 * (pose3d.astype(jnp.float32) ** 2).sum()
+
+    def loss_flax(params):
+        mesh, pose3d, _ = _flax_train_forward(
+            spec, {"params": params,
+                   "batch_stats": variables["batch_stats"]}, pose2d)
+        return (mesh ** 2).sum() + 1e-6 * (pose3d ** 2).sum()
+
+    gf = jax.grad(loss_fused)(variables["params"])
+    gx = jax.grad(loss_flax)(variables["params"])
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_x = dict(jax.tree_util.tree_leaves_with_path(gx))
+    checked = 0
+    for path, leaf in flat_f:
+        want = flat_x[path]
+        name = jax.tree_util.keystr(path)
+        if ("linears_1" in name and "bias" in name):
+            continue        # MHA key bias: zero true grad
+        a, b = np.asarray(leaf), np.asarray(want)
+        if name.endswith("['qkv']['linear']['bias']"):
+            c = a.shape[0] // 3
+            keep = np.ones(a.shape, bool)
+            keep[c:2 * c] = False       # fused-qkv key-bias slice
+            a, b = a[keep], b[keep]
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4,
+                                   err_msg=f"grad {name}")
+        checked += 1
+    assert checked > 50
