@@ -130,9 +130,10 @@ def bench_train(spec, variables, faces, j_regressor):
     on synthetic tensors of the real training shapes.
 
     Returns (fused_pps, f32_pps): the production config — bf16 compute,
-    fused LBF training kernels (in-kernel dropout + custom VJP), B=2048 —
-    and the reference-parity config (f32 XLA, B=512, the only batch that
-    fits without the fused kernels)."""
+    fused GAT + LBF training kernels (in-kernel dropout + custom VJP),
+    B=512 (the best measured operating point; B=2048 also fits now but
+    amortizes slightly worse) — and the reference-parity config
+    (f32 XLA, B=512, the only batch that fits without the kernels)."""
     import optax
 
     from gator_tpu import losses
@@ -180,7 +181,7 @@ def bench_train(spec, variables, faces, j_regressor):
         per_step = _per_step(jloop, state, l_short=2, l_long=8)
         return b / per_step
 
-    fused_pps = measure(dict(dtype=jnp.bfloat16, fused=True), 2048)
+    fused_pps = measure(dict(dtype=jnp.bfloat16, fused=True), TRAIN_BATCH)
     f32_pps = measure({}, TRAIN_BATCH)
     return fused_pps, f32_pps
 

@@ -89,22 +89,17 @@ def coord_l1_loss(pred, target, valid=None):
     return jnp.abs(pred - target).mean()
 
 
-def normal_vector_loss(coord_out, coord_gt, faces: np.ndarray,
-                       corner_gather=None):
-    """Cosine between predicted edges and GT face normals
-    (reference: loss.py:61-87). corner_gather: optional
-    `make_corner_gather` instance for the scatter-free backward."""
-    cg = corner_gather or _plain_corner_gather(faces)
-    p0, p1, p2 = cg(coord_out)
+def _normal_from_corners(po, pg):
+    """Normal-vector loss from pre-gathered corners (reference math:
+    loss.py:61-87)."""
+    p0, p1, p2 = po
     v1_out = _l2_normalize(p1 - p0)
     v2_out = _l2_normalize(p2 - p0)
     v3_out = _l2_normalize(p2 - p1)
-
-    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
-    v1_gt = _l2_normalize(coord_gt[:, f1] - coord_gt[:, f0])
-    v2_gt = _l2_normalize(coord_gt[:, f2] - coord_gt[:, f0])
+    g0, g1, g2 = pg
+    v1_gt = _l2_normalize(g1 - g0)
+    v2_gt = _l2_normalize(g2 - g0)
     normal_gt = _l2_normalize(jnp.cross(v1_gt, v2_gt))
-
     cos1 = jnp.abs((v1_out * normal_gt).sum(-1))
     cos2 = jnp.abs((v2_out * normal_gt).sum(-1))
     cos3 = jnp.abs((v3_out * normal_gt).sum(-1))
@@ -113,26 +108,43 @@ def normal_vector_loss(coord_out, coord_gt, faces: np.ndarray,
         jnp.float32).mean()
 
 
+def _edge_from_corners(po, pg):
+    """Edge-length loss from pre-gathered corners (reference math:
+    loss.py:90-113)."""
+    def elen(a, b):
+        return jnp.sqrt(((a - b) ** 2).sum(-1))
+
+    p0, p1, p2 = po
+    g0, g1, g2 = pg
+    d1 = jnp.abs(elen(p0, p1) - elen(g0, g1))
+    d2 = jnp.abs(elen(p0, p2) - elen(g0, g2))
+    d3 = jnp.abs(elen(p1, p2) - elen(g1, g2))
+    return jnp.concatenate([d1, d2, d3], axis=1).astype(
+        jnp.float32).mean()
+
+
+def _gt_corners(coord_gt, faces):
+    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
+    return coord_gt[:, f0], coord_gt[:, f1], coord_gt[:, f2]
+
+
+def normal_vector_loss(coord_out, coord_gt, faces: np.ndarray,
+                       corner_gather=None):
+    """Cosine between predicted edges and GT face normals
+    (reference: loss.py:61-87). corner_gather: optional
+    `make_corner_gather` instance for the scatter-free backward."""
+    cg = corner_gather or _plain_corner_gather(faces)
+    return _normal_from_corners(cg(coord_out), _gt_corners(coord_gt,
+                                                           faces))
+
+
 def edge_length_loss(coord_out, coord_gt, faces: np.ndarray,
                      corner_gather=None):
     """|edge length difference| over the three face edges
     (reference: loss.py:90-113)."""
     cg = corner_gather or _plain_corner_gather(faces)
-    p0, p1, p2 = cg(coord_out)
-
-    def elen(a, b):
-        return jnp.sqrt(((a - b) ** 2).sum(-1))
-
-    f0, f1, f2 = faces[:, 0], faces[:, 1], faces[:, 2]
-
-    def elen_gt(a, b):
-        return jnp.sqrt(((coord_gt[:, a] - coord_gt[:, b]) ** 2).sum(-1))
-
-    d1 = jnp.abs(elen(p0, p1) - elen_gt(f0, f1))
-    d2 = jnp.abs(elen(p0, p2) - elen_gt(f0, f2))
-    d3 = jnp.abs(elen(p1, p2) - elen_gt(f1, f2))
-    return jnp.concatenate([d1, d2, d3], axis=1).astype(
-        jnp.float32).mean()
+    return _edge_from_corners(cg(coord_out), _gt_corners(coord_gt,
+                                                         faces))
 
 
 def build_laplacian(faces: np.ndarray, num_verts: int) -> np.ndarray:
@@ -195,11 +207,12 @@ def gator_loss(
         fm_pred = pred_mesh.astype(face_loss_dtype)
         fm_gt = gt_mesh.astype(face_loss_dtype)
     l_vert = coord_l1_loss(pred_mesh, gt_mesh, mesh_valid)
-    l_norm = weights.normal * normal_vector_loss(
-        fm_pred, fm_gt, faces, corner_gather=cg)
-    l_edge = (weights.edge * edge_enabled
-              * edge_length_loss(fm_pred, fm_gt, faces,
-                                 corner_gather=cg))
+    # ONE corner-gather set feeds both face losses (separate gathers cost
+    # ~6 extra [B, 13776, 3] HBM reads per step)
+    po = cg(fm_pred)
+    pg = _gt_corners(fm_gt, faces)
+    l_norm = weights.normal * _normal_from_corners(po, pg)
+    l_edge = (weights.edge * edge_enabled * _edge_from_corners(po, pg))
     l_reg = weights.joint * coord_l1_loss(
         pred_reg_pose, gt_reg_pose, reg_valid)
     l_lift = weights.joint * coord_l1_loss(

@@ -291,24 +291,25 @@ def _block_bwd(g_out, x, p, bias_p, m0_bd, m1_bd, structs, inter, cfg,
     da1 = mmT(dattn_pre, p["proj_w"])
     dp["proj_w"] = mTm(inter["a1"], dattn_pre)
     dp["proj_b"] = dattn_pre.sum(0)
-    dqkv = jnp.zeros((r, 3 * c), jnp.float32)
-    dbias = []
+    dbias, dqhs, dkhs, dvhs = [], [], [], []
     for hi in range(h):
         da_h = da1[:, hi * d:(hi + 1) * d]
         vh = inter["qkv"][:, 2 * c + hi * d:2 * c + (hi + 1) * d]
         dpd = mmT(da_h, vh)
-        dvh = mTm(inter["pds"][hi], da_h)
+        dvhs.append(mTm(inter["pds"][hi], da_h))
         dprob = _ap(dpd, inter["m_attns"][hi])
         ds = _softmax_bwd(dprob, inter["ps"][hi])
         dbias.append(mTm(p_f32, mmd(onblock * ds, p_f32)))
         qh = inter["qkv"][:, hi * d:(hi + 1) * d]
         kh = inter["qkv"][:, c + hi * d:c + (hi + 1) * d]
-        dqh = mmd(ds, kh) * scale
-        dkh = mTm(ds, qh) * scale
-        z0 = jnp.zeros((r, hi * d), jnp.float32)
-        z1 = jnp.zeros((r, c - (hi + 1) * d), jnp.float32)
-        dqkv = dqkv + jnp.concatenate(
-            [z0, dqh, z1, z0, dkh, z1, z0, dvh, z1], axis=-1)
+        dqhs.append(mmd(ds, kh) * scale)
+        dkhs.append(mTm(ds, qh) * scale)
+    # per-head concat (a zero-width zeros-pad variant fails Mosaic:
+    # "vector types must have positive constant sizes")
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dqhs, axis=-1),
+         jnp.concatenate(dkhs, axis=-1),
+         jnp.concatenate(dvhs, axis=-1)], axis=-1)
     dp["qkv_b"] = dqkv.sum(0)
     dp["qkv_w"] = mTm(inter["yd"], dqkv)
     dyd = dyd + mmT(dqkv, p["qkv_w"])

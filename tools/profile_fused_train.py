@@ -56,8 +56,13 @@ def main():
     seed = jnp.asarray([3], jnp.int32)
     cot = jnp.asarray(rng.normal(size=verts.shape), jnp.bfloat16)
 
+    import os
+    gf = int(os.environ.get("GF", "4"))
+    gb = int(os.environ.get("GB", "1"))
+
     def stack(v):
-        return lbf_stack_train(v, joints, lps, spec.mdr.num_heads, seed)
+        return lbf_stack_train(v, joints, lps, spec.mdr.num_heads, seed,
+                               group_fwd=gf, group_bwd=gb)
 
     def loop_fwd(v, n):
         def body(_, vv):
