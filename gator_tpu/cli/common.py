@@ -169,7 +169,8 @@ class Session:
                 (1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16))
         else:
             train_step = make_gat_train_step(self.spec, tx,
-                                             dtype=train_dtype)
+                                             dtype=train_dtype,
+                                             fused=fused)
             eval_step = make_gat_eval_step(
                 self.spec, self.assets.joint_set.eval_joints)
         return train_step, eval_step

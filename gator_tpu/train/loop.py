@@ -155,22 +155,57 @@ def make_gat_train_step(
     spec: GatSpec,
     tx: optax.GradientTransformation,
     dtype=jnp.float32,
+    fused: bool = False,
+    fused_interpret: bool = False,
 ) -> Callable:
     """Stage-1 (lifter pretrain) step: CoordLoss on the lifted joints
     (reference: lib/core/base.py:279-315). batch keys: pose2d [B,J,2],
-    joint_cam [B,J,3], joint_valid [B,J,1]."""
+    joint_cam [B,J,3], joint_valid [B,J,1]. fused=True routes the
+    6-block trunk through the training Pallas kernels (in-kernel PRNG
+    dropout + custom VJP, nn/pallas_gat_train.py)."""
     model = GAT(spec=spec, dtype=dtype)
+
+    if fused:
+        from ..nn.pallas_gat_train import gat_trunk_train
+        from ..serving import gat_serving_forward
+
+        def apply_gat(params, pose2d_flat, dropout_rng):
+            b = pose2d_flat.shape[0]
+            seed = jax.random.randint(
+                dropout_rng, (1,), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32)
+
+            def trunk(x, bias, block_params):
+                return gat_trunk_train(
+                    x, bias, block_params, spec.masks_xfeat,
+                    spec.num_heads, seed,
+                    attn_rate=spec.attn_drop_rate,
+                    proj_rate=spec.drop_rate,
+                    drop_path_rate=spec.drop_path_rate,
+                    interpret=fused_interpret)
+
+            pose3d, _ = gat_serving_forward(
+                spec, params, pose2d_flat.reshape(b, spec.num_joint, 2),
+                dtype=dtype, trunk=trunk)
+            return pose3d
+    else:
+        def apply_gat(params, pose2d_flat, dropout_rng):
+            pose3d, _ = model.apply(
+                {"params": params}, pose2d_flat,
+                deterministic=False, rngs={"dropout": dropout_rng})
+            return pose3d
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray],
              rng: jax.Array):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            pose3d, _ = model.apply(
-                {"params": params},
+            pose3d = apply_gat(
+                params,
                 batch["pose2d"].reshape(batch["pose2d"].shape[0], -1),
-                deterministic=False, rngs={"dropout": dropout_rng})
-            pose3d = pose3d.reshape(-1, spec.num_joint, 3)
+                dropout_rng)
+            pose3d = pose3d.reshape(
+                -1, spec.num_joint, 3).astype(jnp.float32)
             return losses.coord_l1_loss(
                 pose3d, batch["joint_cam"], batch["joint_valid"])
 
