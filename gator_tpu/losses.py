@@ -74,9 +74,16 @@ def _plain_corner_gather(faces):
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
-    """torch F.normalize semantics: x / max(||x||, eps)."""
-    norm = jnp.sqrt((x * x).sum(axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch F.normalize semantics: x / max(||x||, eps).
+
+    The clamp sits INSIDE the sqrt: sqrt(sumsq)'s gradient at 0 is inf,
+    and the outer max()'s zero-branch gradient turns that into 0*inf=NaN.
+    Degenerate (zero-length) edges are impossible in f32 meshes but
+    HAPPEN in the bf16 fast path — nearby SMPL vertices round to equal
+    coordinates — and one NaN gradient poisons the whole step."""
+    norm = jnp.sqrt(jnp.maximum((x * x).sum(axis=axis, keepdims=True),
+                                eps * eps))
+    return x / norm
 
 
 def coord_l1_loss(pred, target, valid=None):
@@ -123,7 +130,9 @@ def _edge_from_corners(po, pg):
     """Edge-length loss from pre-gathered corners (reference math:
     loss.py:90-113); channel-major like `_normal_from_corners`."""
     def elen(a, b):
-        return jnp.sqrt(((a - b) ** 2).sum(-2))
+        # clamp inside the sqrt: zero-length bf16 edges otherwise emit
+        # inf gradients (see _l2_normalize)
+        return jnp.sqrt(jnp.maximum(((a - b) ** 2).sum(-2), 1e-24))
 
     p0, p1, p2 = (t.swapaxes(-1, -2) for t in po)
     g0, g1, g2 = (t.swapaxes(-1, -2) for t in pg)

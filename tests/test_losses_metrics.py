@@ -194,3 +194,33 @@ def test_corner_gather_custom_vjp_matches_autodiff(small_assets):
     a = losses.normal_vector_loss(mesh, gt, faces, corner_gather=cg)
     b = losses.normal_vector_loss(mesh, gt, faces)
     np.testing.assert_allclose(float(a), float(b), rtol=1e-7)
+
+
+def test_face_loss_grads_finite_on_degenerate_bf16_edges(small_assets):
+    """bf16 meshes can have edges that round to EXACTLY zero length
+    (nearby SMPL vertices at ~0.5 m coordinates; bf16 eps there ~4e-3).
+    sqrt(0)'s gradient is inf and an outer max() clamp turns it into
+    0*inf = NaN — one poisoned lane NaN'd whole bf16 training steps on
+    chip (diverged at ~step 40). The clamp now sits INSIDE the sqrt."""
+    import jax
+    import jax.numpy as jnp
+
+    from gator_tpu import losses
+
+    faces = np.asarray(small_assets.faces)
+    v = small_assets.mean_vertices.shape[0]
+    rng = np.random.default_rng(0)
+    mesh = rng.normal(size=(2, v, 3)).astype(np.float32) * 0.1
+    # force degenerate geometry: the first face's corners coincide
+    f0 = faces[0]
+    mesh[:, f0[1]] = mesh[:, f0[0]]
+    mesh[:, f0[2]] = mesh[:, f0[0]]
+    gt = jnp.asarray(rng.normal(size=(2, v, 3)) * 0.1, jnp.bfloat16)
+    mesh = jnp.asarray(mesh, jnp.bfloat16)
+    cg = losses.make_corner_gather(faces, v)
+
+    for loss_fn in (losses.normal_vector_loss, losses.edge_length_loss):
+        g = jax.grad(lambda m: loss_fn(m, gt, faces, corner_gather=cg))(
+            mesh)
+        assert np.isfinite(np.asarray(g, np.float32)).all(), \
+            loss_fn.__name__

@@ -182,8 +182,64 @@ def profile_losses_and_head():
           f"(token build + LBF + head)", flush=True)
 
 
+
+
+def profile_gat_fused():
+    """Fused GAT trunk (training kernels) fwd and fwd+bwd in isolation."""
+    from gator_tpu.nn.pallas_gat import extract_block_params
+    from gator_tpu.nn.pallas_gat_train import gat_trunk_train
+    from gator_tpu.nn import HopPathEncoding
+
+    assets = build_assets("human36", synthetic_vertex_num=6890)
+    spec = GatorSpec.from_assets(assets, embed_dim=128, depth=6,
+                                 alpha=False)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = init_gator(spec, jax.random.PRNGKey(0))
+    variables = jax.device_put(variables, jax.devices()[0])
+    gp = variables["params"]["pose_lifter"]
+    s = spec.gat
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 17, 128)), jnp.bfloat16)
+    bias = HopPathEncoding(
+        num_heads=s.num_heads, num_spatial=s.num_spatial,
+        spatial_pos=s.spatial_pos, edge_input=s.edge_input,
+        hop_recip=s.hop_recip, dtype=jnp.float32).apply(
+            {"params": gp["get_hop_path_encoding"]})
+    bps = [extract_block_params(gp, i, s.adjacency)
+           for i in range(s.depth)]
+    seed = jnp.asarray([3], jnp.int32)
+    cot = jnp.asarray(rng.normal(size=x.shape), jnp.bfloat16)
+
+    def trunk(x):
+        return gat_trunk_train(x, bias, bps, s.masks_xfeat, s.num_heads,
+                               seed)
+
+    def loop_fwd(v, n):
+        def body(_, vv):
+            return vv + (1e-9 * trunk(vv)).astype(vv.dtype)
+        return lax.fori_loop(0, n, body, v)[0, 0, 0].astype(jnp.float32)
+
+    def loop_vjp(v, n):
+        def body(_, vv):
+            out, vjp = jax.vjp(trunk, vv)
+            (dv,) = vjp(cot)
+            return vv + (1e-9 * dv).astype(vv.dtype)
+        return lax.fori_loop(0, n, body, v)[0, 0, 0].astype(jnp.float32)
+
+    jf, jv = jax.jit(loop_fwd), jax.jit(loop_vjp)
+    _timed(jf, x, L_SHORT)
+    print(f"GAT fused trunk fwd : {_per_step(jf, x)*1e3:7.2f} ms",
+          flush=True)
+    _timed(jv, x, L_SHORT)
+    print(f"GAT fused trunk vjp : {_per_step(jv, x)*1e3:7.2f} ms",
+          flush=True)
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[2] == "losses":
+    mode = sys.argv[2] if len(sys.argv) > 2 else "main"
+    if mode == "losses":
         profile_losses_and_head()
+    elif mode == "gat":
+        profile_gat_fused()
     else:
         main()
