@@ -75,6 +75,18 @@ class GatBlockCfg:
                                 # keyed per tile program)
     interpret: bool = False
 
+    def __post_init__(self):
+        if not 1 <= self.num_heads <= 8:
+            raise ValueError(
+                f"num_heads={self.num_heads}: mask-id streams budget 8 "
+                "heads (_M_ATTN_BASE..7)")
+        if self.group > 8:
+            # row_mask draws DropPath scalars from one (8, 128) bit block
+            # — sample index within the tile must be < 8
+            raise ValueError(f"group={self.group} > 8: per-sample "
+                             "DropPath masks support at most 8 "
+                             "samples per tile")
+
 
 def _mask_fns(seed, block, pid):
     s1 = seed + block * jnp.int32(0x61C88647) + jnp.int32(0x7F4A7C15)

@@ -53,10 +53,14 @@ except Exception:  # pragma: no cover
 DEFAULT_RATES = (0.2, 0.2, 0.2, 0.2, 0.1, 0.1)
 ZERO_RATES = (0.0,) * 6
 
-# mask ids (PRNG stream per (seed, layer, sample, mask_id))
-_M_ATTN0, _M_ATTN1, _M_PROJ, _M_DP1 = 0, 1, 2, 3
-_M_MLP1, _M_MLP2, _M_DP2 = 4, 5, 6
-_M_SELF0, _M_SELF1, _M_OUT = 7, 8, 9
+# mask ids (PRNG stream per (seed, layer, sample, mask_id)); the two
+# attention families get an 8-head budget each (matching the GAT kernel)
+# so per-head streams can never collide with the per-tensor streams
+_M_ATTN0 = 0                         # + head index (num_heads <= 8)
+_M_PROJ, _M_DP1, _M_MLP1, _M_MLP2, _M_DP2 = 8, 9, 10, 11, 12
+_M_SELF0 = 16                        # + head index (num_heads <= 8)
+_M_OUT = 24
+_MID_STRIDE = 32                     # mids < 32 pack injectively
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +76,12 @@ class TrainLayerCfg:
     # compiles through the relay
     group_bwd: int = 1
     interpret: bool = False
+
+    def __post_init__(self):
+        if not 1 <= self.num_heads <= 8:
+            raise ValueError(
+                f"num_heads={self.num_heads}: the per-head dropout mask "
+                "streams budget 8 heads (_M_ATTN0/_M_SELF0 spacing)")
 
 
 def _ln_fwd(x32, scale, bias, eps=1e-5):
@@ -139,11 +149,11 @@ def _make_mask_fn(seed, layer, sample, rates):
     identical masks with no draw-order coupling. Mosaic's prng_seed takes
     AT MOST two seed words, so (seed, layer, sample, mask-id) folds into
     two: layer perturbs the base seed by a Weyl constant; (sample, mid)
-    pack injectively into the second word (mid < 16)."""
+    pack injectively into the second word (mid < _MID_STRIDE)."""
     s1 = seed + layer * jnp.int32(0x61C88647)
 
     def _seed_for(mid):
-        pltpu.prng_seed(s1, sample * 16 + mid)
+        pltpu.prng_seed(s1, sample * _MID_STRIDE + mid)
 
     def mask(mid, shape, rate):
         if rate == 0.0:
@@ -197,9 +207,7 @@ def _sample_fwd(x, jt, p, mask, scalar_mask, rates, num_heads, dtype,
     q = mm(yv, p["wq"])
     k = mm(yj, p["wk"])
     v = mm(yj, p["wv"])
-    ps, pds, m_attns = [], [], []
-    a1 = jnp.zeros((nv, c), jnp.float32)
-    a1_parts = []
+    ps, pds, m_attns, a1_parts = [], [], [], []
     for hi, (qh, kh, vh) in enumerate(zip(_heads(q, h), _heads(k, h),
                                           _heads(v, h))):
         s = jax.lax.dot_general(
@@ -457,7 +465,6 @@ def _pad2(x, n0, n):
 def _run_fwd(cfg: TrainLayerCfg, seed, x, jt, plist):
     b, nv0, c = x.shape
     nj0 = jt.shape[1]
-    dtype = x.dtype if x.dtype != jnp.float32 else jnp.float32
     nv = _round_up(nv0, 16)
     nj = _round_up(nj0, 8)
     g = cfg.group_fwd

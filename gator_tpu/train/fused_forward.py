@@ -25,7 +25,17 @@ from ..models.gator import GatorSpec
 from ..models.mdr import conv1d_len3
 from ..nn.pallas_gat_train import gat_trunk_train
 from ..nn.pallas_mdr import extract_layer_params
-from ..nn.pallas_mdr_train import DEFAULT_RATES, lbf_stack_train
+from ..nn.pallas_mdr_train import lbf_stack_train
+
+
+def rates_from_spec(mdr_spec) -> tuple:
+    """LBF kernel dropout rates for an MdrSpec, matching the flax model:
+    the cross-attn block's 0.2s are model constants (models/mdr.py
+    CrossAttentionBlock defaults; reference lib/models/MDR.py:48-69),
+    while the self-attn and residual rates follow spec.dropout
+    (models/mdr.py:182-188)."""
+    d = mdr_spec.dropout
+    return (0.2, 0.2, 0.2, 0.2, d, d)
 
 
 def _dense(mod, y, dtype):
@@ -36,15 +46,22 @@ def _dense(mod, y, dtype):
 def mdr_train_forward(spec, params: Dict[str, Any],
                       batch_stats: Dict[str, Any] | None,
                       x: jnp.ndarray, seed: jnp.ndarray,
-                      dtype=jnp.bfloat16, rates=DEFAULT_RATES,
+                      dtype=jnp.bfloat16, rates=None,
                       interpret: bool = False,
                       group_fwd: int = 4, group_bwd: int = 1
                       ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """MDR in train mode from the raw param tree. Returns (mesh, new
     batch_stats). Mirrors models/mdr.py MDR.__call__ with
     deterministic=False except that LBF dropout comes from the on-core
-    PRNG (reference: lib/models/MDR.py:124-170)."""
+    PRNG (reference: lib/models/MDR.py:124-170). rates=None derives the
+    kernel dropout rates from the spec (`rates_from_spec`)."""
     s = spec
+    if rates is None:
+        rates = rates_from_spec(s)
+    if not s.alpha and not (batch_stats and "bias_norm" in batch_stats):
+        raise ValueError(
+            "alpha=False MDR uses BatchNorm1d: batch_stats must carry "
+            "the 'bias_norm' running stats (init the model to get them)")
     b = x.shape[0]
     x = x.astype(dtype)
 
@@ -115,7 +132,7 @@ def mdr_train_forward(spec, params: Dict[str, Any],
 
 
 def make_fused_forward(spec: GatorSpec, dtype=jnp.bfloat16,
-                       rates=DEFAULT_RATES, interpret: bool = False,
+                       rates=None, interpret: bool = False,
                        group_fwd: int = 4, group_bwd: int = 1,
                        gat_deterministic: bool = False,
                        fused_gat: bool = True,

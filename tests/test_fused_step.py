@@ -246,3 +246,46 @@ def test_fused_gat_stage1_step_matches_flax_rate0(setup):
                                    err_msg=f"stage1 grad {name}")
         checked += 1
     assert checked > 30
+
+
+def test_rates_from_spec_follows_dropout(setup):
+    """Kernel rates derive from the spec: the cross-attn 0.2s are model
+    constants, the self-attn/residual pair tracks spec.dropout
+    (models/mdr.py:182-188) — guards against the fused path silently
+    training a different model than the flax path."""
+    import dataclasses
+
+    from gator_tpu.train.fused_forward import rates_from_spec
+
+    _, spec, _, _ = setup
+    assert rates_from_spec(spec.mdr) == (0.2, 0.2, 0.2, 0.2,
+                                         spec.mdr.dropout,
+                                         spec.mdr.dropout)
+    hot = dataclasses.replace(spec.mdr, dropout=0.3)
+    assert rates_from_spec(hot) == (0.2, 0.2, 0.2, 0.2, 0.3, 0.3)
+
+
+def test_kernel_cfg_rejects_unsupported_shapes():
+    """Mask-id stream budgets are enforced, not silently exceeded."""
+    from gator_tpu.nn.pallas_gat_train import GatBlockCfg
+    from gator_tpu.nn.pallas_mdr_train import TrainLayerCfg
+
+    with pytest.raises(ValueError, match="num_heads"):
+        TrainLayerCfg(num_heads=9, nv0=431, nj0=17, layer=0)
+    with pytest.raises(ValueError, match="num_heads"):
+        GatBlockCfg(num_heads=9, num_joint=17, block=0)
+    with pytest.raises(ValueError, match="group"):
+        GatBlockCfg(num_heads=8, num_joint=17, block=0, group=16)
+
+
+def test_mdr_batchnorm_requires_batch_stats(setup):
+    """alpha=False (BatchNorm head) without running stats must fail with
+    a clear error, not a TypeError deep in the trace."""
+    from gator_tpu.train.fused_forward import mdr_train_forward
+
+    _, spec, variables, _ = setup
+    x = jnp.zeros((2, spec.mdr.num_joint, 2 + 3 + spec.gat.embed_dim))
+    with pytest.raises(ValueError, match="bias_norm"):
+        mdr_train_forward(spec.mdr, variables["params"]["pose2mesh"],
+                          None, x, jnp.zeros((1,), jnp.int32),
+                          interpret=True)
