@@ -289,3 +289,61 @@ def test_mdr_batchnorm_requires_batch_stats(setup):
         mdr_train_forward(spec.mdr, variables["params"]["pose2mesh"],
                           None, x, jnp.zeros((1,), jnp.int32),
                           interpret=True)
+
+
+@pytest.mark.slow
+def test_fused_forward_coco19_alpha_matches_flax():
+    """Shape/branch generality of the FULL fused training path at the
+    coco joint set (J=19 GAT tiling, 19 joint tokens in the LBF
+    cross-attention) with alpha=True (LayerNorm head, no batch_stats):
+    outputs and a parameter-gradient spot-check vs flax at rate 0."""
+    from gator_tpu.assets import build_assets
+
+    assets = build_assets("coco", data_dirs=[], synthetic_vertex_num=890,
+                          seed=0)
+    spec = GatorSpec.from_assets(
+        assets, embed_dim=64, depth=2, alpha=True,
+        drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0)
+    variables = init_gator(spec, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(7)
+    pose2d = jnp.asarray(0.5 + 0.25 * rng.standard_normal((4, 19, 2)),
+                         jnp.float32)
+    bs = variables.get("batch_stats")
+    fwd = make_fused_forward(spec, dtype=jnp.float32, rates=ZERO_RATES,
+                             interpret=True, fused_gat=True,
+                             gat_mlp_rate=0.0)
+    mesh_f, pose3d_f, _ = fwd(variables["params"], bs, pose2d,
+                              jax.random.PRNGKey(1))
+    model = GATOR(spec=spec)
+    mesh_x, pose3d_x = model.apply(
+        {"params": variables["params"]}, pose2d, deterministic=True)
+    np.testing.assert_allclose(np.asarray(mesh_f), np.asarray(mesh_x),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(pose3d_f),
+                               np.asarray(pose3d_x), atol=2e-3)
+
+    def loss_fused(params):
+        mesh, pose3d, _ = fwd(params, bs, pose2d, jax.random.PRNGKey(1))
+        return (mesh.astype(jnp.float32) ** 2).sum()
+
+    def loss_flax(params):
+        mesh, _ = model.apply({"params": params}, pose2d,
+                              deterministic=True)
+        return (mesh ** 2).sum()
+
+    gf = jax.grad(loss_fused)(variables["params"])
+    gx = jax.grad(loss_flax)(variables["params"])
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_x = dict(jax.tree_util.tree_leaves_with_path(gx))
+    checked = 0
+    for path, leaf in flat_f:
+        name = jax.tree_util.keystr(path)
+        if "linears_1" in name and "bias" in name:
+            continue        # zero-true-grad key bias (noise both sides)
+        want = flat_x[path]
+        scale = max(float(jnp.abs(want).max()), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(leaf) / scale, np.asarray(want) / scale,
+            atol=5e-4, err_msg=f"coco19 grad {name}")
+        checked += 1
+    assert checked > 50
