@@ -1,6 +1,6 @@
 .PHONY: test test-full bench native smoke clean
 
-# quick lane: skips the multi-minute CLI training runs (marker: slow)
+# quick lane: skips the multi-minute runs (marker: slow)
 test:
 	python -m pytest tests/ -q -m "not slow"
 
