@@ -136,6 +136,7 @@ def fold_trunk_params(block_params, num_heads: int,
         vp_b = vb @ p["proj_w"] + p["proj_b"]
         return wvp, vp_b
 
+    folds = [fold(p) for p in block_params]
     out = {}
     for key in TRUNK_PARAM_KEYS:
         if key == "qk_w":
@@ -143,9 +144,9 @@ def fold_trunk_params(block_params, num_heads: int,
         elif key == "qk_b":
             arrs = [p["qkv_b"][:2 * c] for p in block_params]
         elif key == "wvp":
-            arrs = [fold(p)[0] for p in block_params]
+            arrs = [f[0] for f in folds]
         elif key == "vp_b":
-            arrs = [fold(p)[1] for p in block_params]
+            arrs = [f[1] for f in folds]
         elif key == "gcn_m":
             arrs = [padj(p["gcn_m"], (0,)) for p in block_params]
         elif key == "gcn_mdiag":
@@ -163,7 +164,7 @@ def fold_trunk_params(block_params, num_heads: int,
 
 
 def _trunk_kernel(x_ref, bias_ref, m0_ref, m1_ref, *rest,
-                  num_heads, dtype, g, j, n_blocks):
+                  num_heads, dtype, j, n_blocks):
     """The WHOLE GAT trunk in one program per G-sample tile.
 
     The joint axis is flattened into the tile rows ([G*J, C]); per-sample
@@ -197,7 +198,8 @@ def _trunk_kernel(x_ref, bias_ref, m0_ref, m1_ref, *rest,
         """[JP, JP] (zero-padded) -> block-diagonal [R, R] (f32)."""
         return onblock * (p_f32 @ (t32 @ p_f32.T))
 
-    bias = bias_ref[...]                                     # [H, J, J]
+    bias = bias_ref[...]        # [H, JP, JP], zero-padded past j; tile()
+                                # only reads the block-diagonal j range
     bias_bd = [tile(bias[h]) + offmask for h in range(num_heads)]
     m0_bd = tile(m0_ref[...].astype(jnp.float32)).astype(dtype)
     m1_bd = tile(m1_ref[...].astype(jnp.float32)).astype(dtype)
@@ -308,7 +310,7 @@ def gat_blocks_fused(x, bias, block_params, masks_xfeat, num_heads: int,
             dimension_semantics=("parallel",))
     out = pl.pallas_call(
         functools.partial(_trunk_kernel, num_heads=num_heads, dtype=dtype,
-                          g=group, j=j, n_blocks=len(block_params)),
+                          j=j, n_blocks=len(block_params)),
         grid=(b // group,),
         in_specs=[xspec, _const(bias32.shape), _const(m0.shape),
                   _const(m1.shape)] + [_const(a.shape) for a in plist],

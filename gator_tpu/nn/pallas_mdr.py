@@ -151,32 +151,35 @@ def _kernel(verts_ref, joints_ref, *rest, num_heads, dtype):
 
 
 def lbf_layer_fused(verts, joints, params: Dict[str, jnp.ndarray],
-                    num_heads: int, group: int = 8) -> jnp.ndarray:
+                    num_heads: int, group: int = 8,
+                    interpret: bool = False) -> jnp.ndarray:
     """Pallas form: one grid program per G samples, everything in VMEM."""
     b, nv, c = verts.shape
     nj = joints.shape[1]
     while group > 1 and b % group:
         group //= 2
-    vspec = pl.BlockSpec((group, nv, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    jspec = pl.BlockSpec((group, nj, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+    mspace = {} if interpret else {"memory_space": pltpu.VMEM}
+    vspec = pl.BlockSpec((group, nv, c), lambda i: (i, 0, 0), **mspace)
+    jspec = pl.BlockSpec((group, nj, c), lambda i: (i, 0, 0), **mspace)
     def _const_map(nd):
         return lambda i: (0,) * nd
 
     pspecs = [
         pl.BlockSpec(params[key].shape, _const_map(params[key].ndim),
-                     memory_space=pltpu.VMEM)
+                     **mspace)
         for key in LAYER_PARAM_KEYS
     ]
+    kwargs = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("parallel",))}
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads, dtype=verts.dtype),
         grid=(b // group,),
         in_specs=[vspec, jspec] + pspecs,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct(verts.shape, verts.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        interpret=interpret,
+        **kwargs,
     )(verts, joints, *[params[k] for k in LAYER_PARAM_KEYS])
 
 

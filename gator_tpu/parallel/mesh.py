@@ -54,11 +54,14 @@ def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
     Returns (padded_batch, original_size)."""
     leaves = jax.tree_util.tree_leaves(batch)
     n = leaves[0].shape[0]
+    bad = [x.shape for x in leaves if x.shape[0] != n]
+    if bad:
+        raise ValueError(
+            f"pad_to_multiple: every leaf must share the leading batch "
+            f"dim {n}; got leaves with shapes {bad[:3]}")
     pad = (-n) % multiple
 
     def _pad(x):
-        if pad == 0:
-            return x
         if isinstance(x, jax.Array):   # device-resident leaves stay there
             import jax.numpy as jnp
             reps = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])

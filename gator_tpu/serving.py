@@ -3,11 +3,11 @@
 `make_serving_fn(spec, variables)` returns a jittable function numerically
 equivalent to `GATOR.apply(..., deterministic=True)` but with the hot
 stacks executed by fully-fused Pallas kernels:
-  * the MDR LBF stack (`nn.pallas_mdr.lbf_layer`) — each layer's ~25
-    HBM-resident XLA ops collapse into one VMEM-resident program per
-    sample tile;
-  * the GAT trunk (`nn.pallas_gat.gat_blocks`) — each block's ~30 small
-    17-token ops become one block-diagonal tile program per G samples.
+  * the MDR LBF stack (`nn.pallas_mdr.lbf_stack`) — the 3 layers' ~75
+    HBM-resident XLA ops collapse into VMEM-resident per-G-sample-tile
+    programs with folded V-projections;
+  * the GAT trunk (`nn.pallas_gat.gat_blocks`) — the WHOLE 6-block trunk
+    runs as ONE block-diagonal tile program per G samples.
 The embeds and the MDR head (tiny tensors / single large matmuls) stay on
 XLA.
 
@@ -26,7 +26,8 @@ from .models.mdr import conv1d_len3
 from .nn import HopPathEncoding
 from .nn.pallas_gat import extract_block_params, gat_blocks, \
     gat_blocks_xla
-from .nn.pallas_mdr import extract_layer_params, lbf_stack, lbf_stack_xla
+from .nn.pallas_mdr import _ln, extract_layer_params, lbf_stack, \
+    lbf_stack_xla
 
 
 def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
@@ -88,11 +89,7 @@ def gat_serving_forward(spec, params: Dict[str, Any], pose2d: jnp.ndarray,
         x = trunk_fn(x, bias, block_params, s.masks_xfeat, s.num_heads)
 
     xn = params["norm"]
-    feat32 = x.astype(jnp.float32)
-    mean = feat32.mean(-1, keepdims=True)
-    var = ((feat32 - mean) ** 2).mean(-1, keepdims=True)
-    feat = ((feat32 - mean) * jax.lax.rsqrt(var + 1e-5)
-            * xn["scale"] + xn["bias"]).astype(dtype)
+    feat = _ln(x, xn["scale"], xn["bias"]).astype(dtype)
     feat = jax.nn.gelu(feat, approximate=False)
     lif = params["lifter"]["linear"]
     pose3d = feat.reshape(b, -1) @ lif["kernel"].astype(dtype) \
@@ -138,11 +135,7 @@ def mdr_serving_forward(spec, params: Dict[str, Any],
     mat_b = dense(params["bias_linear"], verts_feat)
     if s.alpha:
         bn = params["bias_norm"]
-        m32 = mat_b.astype(jnp.float32)
-        mean = m32.mean(-1, keepdims=True)
-        var = ((m32 - mean) ** 2).mean(-1, keepdims=True)
-        mat_b = ((m32 - mean) * jax.lax.rsqrt(var + 1e-5)
-                 * bn["scale"] + bn["bias"]).astype(dtype)
+        mat_b = _ln(mat_b, bn["scale"], bn["bias"]).astype(dtype)
     else:
         bn = params["bias_norm"]
         mean = batch_stats["bias_norm"]["mean"].astype(jnp.float32)
@@ -192,6 +185,11 @@ def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
     batch_stats = None
     if "batch_stats" in variables and variables["batch_stats"]:
         batch_stats = variables["batch_stats"]["pose2mesh"]
+    if not spec.mdr.alpha and not (batch_stats
+                                   and "bias_norm" in batch_stats):
+        raise ValueError(
+            "alpha=False MDR uses BatchNorm1d: variables must carry the "
+            "batch_stats collection with its 'bias_norm' running stats")
 
     def fn(pose2d):
         b = pose2d.shape[0]
