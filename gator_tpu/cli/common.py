@@ -77,14 +77,17 @@ class Session:
     """Everything one training/eval run needs, built once from a Config."""
 
     def __init__(self, cfg: Config, is_train: bool = True,
-                 debug: bool = False, synthetic: bool = False):
+                 debug: bool = False, synthetic: bool = False,
+                 assets=None):
         self.cfg = cfg
         names = (cfg.DATASET.train_list if is_train
                  else cfg.DATASET.test_list)
         if synthetic:
             names = ("Synthetic",)
-        self.assets = build_assets(cfg.DATASET.input_joint_set,
-                                   data_dirs=resolve_data_dirs(cfg))
+        # assets depend only on the joint set + data dirs — a paired
+        # train/eval session shares one build (SMPL load + graph tables)
+        self.assets = assets if assets is not None else build_assets(
+            cfg.DATASET.input_joint_set, data_dirs=resolve_data_dirs(cfg))
         self.synth = GtSynthesizer(self.assets)
         self.datasets = build_datasets(cfg, self.assets, names, is_train,
                                        debug=debug)

@@ -56,7 +56,7 @@ def main(argv=None):
     sess = Session(cfg, is_train=True, debug=args.debug,
                    synthetic=args.synthetic)
     eval_sess = Session(cfg, is_train=False, debug=args.debug,
-                        synthetic=args.synthetic)
+                        synthetic=args.synthetic, assets=sess.assets)
 
     # optional experiment tracking (reference: lib/core/base.py:114-120;
     # gated by cfg.TRAIN.wandb and import availability)
@@ -119,25 +119,31 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, _on_sigterm)
 
-    end_epoch = args.epochs or cfg.TRAIN.end_epoch
+    end_epoch = (args.epochs if args.epochs is not None
+                 else cfg.TRAIN.end_epoch)
     rng = jax.random.PRNGKey(cfg.seed)
-    best_joint_err = np.inf
+    # on resume, the restored error history defines the bar a new epoch
+    # must beat — otherwise the first post-resume eval would overwrite
+    # best/ with a worse model (reference keeps min(error_history))
+    best_joint_err = (float(min(error_history["joint"]))
+                      if error_history["joint"] else np.inf)
     for epoch in range(begin_epoch, end_epoch + 1):
         sess.pipeline.set_epoch(epoch)
         edge_on = jnp.asarray(
             1.0 if (sess.is_gator and epoch > cfg.TRAIN.edge_loss_start)
             else 0.0)
-        # losses stay device scalars until the epoch ends (or print_freq /
-        # wandb forces a readback): a float() per step would serialize the
-        # host against every step's completion
-        losses_dev, steps, t0 = [], 0, time.time()
+        # the epoch loss accumulates as one device scalar (a tiny cached
+        # add per step): a float() per step would serialize the host
+        # against every step, and stacking N per-step scalars at epoch
+        # end would compile an N-operand concat per distinct epoch length
+        loss_sum, steps, t0 = jnp.asarray(0.0, jnp.float32), 0, time.time()
         for batch in sess.pipeline:
             batch = shard_batch(mesh, batch)
             if sess.is_gator:
                 state, m = dstep(state, batch, rng, edge_on)
             else:
                 state, m = dstep(state, batch, rng)
-            losses_dev.append(m["loss"])
+            loss_sum = loss_sum + m["loss"]
             steps += 1
             if preempted["flag"]:
                 # resume restarts this epoch (per-epoch checkpoint
@@ -159,8 +165,7 @@ def main(argv=None):
                 per = {k: float(v) for k, v in m.items()}
                 msg = " ".join(f"{k}: {v:.4f}" for k, v in per.items())
                 print(f"epoch {epoch} [{steps}/{len(sess.pipeline)}] {msg}")
-        epoch_loss = (float(jnp.stack(losses_dev).mean())
-                      if losses_dev else 0.0)
+        epoch_loss = float(loss_sum) / steps if steps else 0.0
         loss_history.append(epoch_loss)
         dt = time.time() - t0
         sps = steps * cfg.TRAIN.batch_size / max(dt, 1e-9)

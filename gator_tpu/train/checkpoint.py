@@ -88,8 +88,6 @@ def pick_checkpoint(ckpt_dir: str, pick_best: bool = False) -> str:
     (reference: base.py:69, GAT.py:128-131 picks best.pth.tar)."""
     if pick_best and osp.isdir(osp.join(ckpt_dir, "best")):
         return osp.join(ckpt_dir, "best")
-    if osp.isdir(osp.join(ckpt_dir, "final")):
-        return osp.join(ckpt_dir, "final")
     nums = []
     for name in os.listdir(ckpt_dir):
         if name.startswith("checkpoint"):
@@ -97,6 +95,17 @@ def pick_checkpoint(ckpt_dir: str, pick_best: bool = False) -> str:
                 nums.append(int(name[len("checkpoint"):]))
             except ValueError:
                 pass
+    final = osp.join(ckpt_dir, "final")
+    if osp.isdir(final):
+        if not nums:
+            return final
+        # an extended run (--resume_training with a larger --epochs) that
+        # was preempted leaves checkpoint{N} dirs NEWER than final/ —
+        # resume from whichever is further along, not blindly from final
+        fin_epoch = int(_checkpointer().restore(
+            osp.abspath(final))["epoch"])
+        if fin_epoch >= max(nums):
+            return final
     if not nums:
         raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
     return osp.join(ckpt_dir, f"checkpoint{max(nums)}")

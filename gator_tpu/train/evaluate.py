@@ -50,6 +50,11 @@ def run_eval(
 
     sums: Dict[str, float] = {}
     count = 0
+    dup = set(collect_out) & set(collect_batch)
+    if dup:
+        raise ValueError(
+            f"collect_out and collect_batch overlap on {sorted(dup)}: "
+            "the gathered results would interleave outputs and inputs")
     gathered: Dict[str, list] = {k: [] for k in
                                  tuple(collect_out) + tuple(collect_batch)}
     for batch in pipeline:

@@ -135,9 +135,12 @@ def make_gator_eval_step(
             mesh, lift_pose = model.apply(
                 state.model_variables(), batch["pose2d"],
                 deterministic=True)
-        mesh_mm = mesh * 1000.0
-        gt_mesh_mm = batch["mesh"] * 1000.0
-        pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh_mm)
+            mesh_mm = mesh * 1000.0
+            gt_mesh_mm = batch["mesh"] * 1000.0
+            # joint regression is parity-critical too — keep it inside
+            # the HIGHEST-precision scope (bf16 rounding is O(1) mm at
+            # mm-scale meshes)
+            pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh_mm)
         gt_pose = batch["reg_pose3d"]
         # root-align mesh by joint roots, joints by their own roots
         s_err = metrics.mpvpe(mesh_mm, gt_mesh_mm,
@@ -222,10 +225,14 @@ def make_gat_eval_step(spec: GatSpec, eval_joints,
     eval_idx = tuple(eval_joints) if eval_joints is not None else None
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        pose3d, _ = model.apply(
-            state.model_variables(),
-            batch["pose2d"].reshape(batch["pose2d"].shape[0], -1),
-            deterministic=True)
+        # same HIGHEST-precision rule as make_gator_eval_step: stage-1
+        # best-model selection rides this MPJPE, and the TPU's default
+        # bf16 matmul passthrough costs O(1) mm
+        with jax.default_matmul_precision("highest"):
+            pose3d, _ = model.apply(
+                state.model_variables(),
+                batch["pose2d"].reshape(batch["pose2d"].shape[0], -1),
+                deterministic=True)
         pose3d = pose3d.reshape(-1, spec.num_joint, 3)
         err = metrics.mpjpe(pose3d, batch["joint_cam"],
                             eval_joints=eval_idx, per_sample=True)

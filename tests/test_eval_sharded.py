@@ -69,3 +69,16 @@ def test_aggregation_is_exact_per_sample_mean(small_assets):
     batch_means = [float(c.mean()) for c in per_sample]
     assert abs(np.mean(batch_means) - exact) > 0 or len(set(
         len(c) for c in per_sample)) == 1
+
+
+def test_run_eval_rejects_overlapping_collect_keys(small_assets):
+    """A key in both collect_out and collect_batch would interleave
+    outputs and inputs into one corrupted concatenation — refuse it."""
+    import pytest
+
+    from gator_tpu.train import run_eval
+
+    with pytest.raises(ValueError, match="overlap"):
+        run_eval(lambda s, b: {}, None, [],
+                 collect_out=("pred_mesh_mm",),
+                 collect_batch=("pred_mesh_mm",))

@@ -156,3 +156,23 @@ def test_checkpoint_roundtrip(tmp_path, small_assets):
     # latest-checkpoint resolution
     save_checkpoint(ckpt_dir, state, epoch=5)
     assert pick_checkpoint(ckpt_dir).endswith("checkpoint5")
+
+
+def test_pick_checkpoint_prefers_newer_numbered_over_final(
+        tmp_path, small_assets):
+    """An extended run preempted after final/ was written leaves
+    checkpoint{N} dirs further along than final — resume must pick the
+    newer one (and still pick final when final IS the newest)."""
+    spec = GatorSpec.from_assets(small_assets, embed_dim=64, depth=1)
+    tx = make_optimizer("adam", multistep_lr(1e-3, (30,), 0.1, 100))
+    state = TrainState.create(init_gator(spec, jax.random.PRNGKey(0)), tx)
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state, epoch=10, is_final=True)
+    assert pick_checkpoint(ckpt_dir).endswith("final")
+    save_checkpoint(ckpt_dir, state, epoch=14)
+    assert pick_checkpoint(ckpt_dir).endswith("checkpoint14")
+    # a stale numbered checkpoint older than final does not win
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt" / "checkpoint14"))
+    save_checkpoint(ckpt_dir, state, epoch=7)
+    assert pick_checkpoint(ckpt_dir).endswith("final")
