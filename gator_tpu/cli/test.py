@@ -42,9 +42,12 @@ def parse_args(argv=None):
 def load_weights(path: str, variables):
     if path.endswith(".pth.tar") or path.endswith(".pth"):
         return convert_checkpoint(path, variables)
+    # a concrete orbax payload (best/, final/, or an explicit
+    # checkpoint{N}/ — marked by orbax's _CHECKPOINT_METADATA) loads
+    # directly; a container dir resolves via pick_checkpoint
+    concrete = osp.exists(osp.join(path, "_CHECKPOINT_METADATA"))
     restored = load_checkpoint(
-        pick_checkpoint(path, pick_best=True) if not
-        path.rstrip("/").endswith(("best", "final")) else path)
+        path if concrete else pick_checkpoint(path, pick_best=True))
     state = restored["state"]
     out = {"params": state["params"]}
     if state.get("batch_stats"):
@@ -86,8 +89,16 @@ def main(argv=None):
     else:
         print(f"MPJPE: {res['joint_err']:.2f}")
 
-    # final evaluation with the dataset's full metric suite
+    # final evaluation with the dataset's full metric suite. The dataset
+    # evaluate() methods index their tables by ROW, so predictions must be
+    # in dataset row order — which holds only for a single unshuffled
+    # test dataset (the reference tester always iterates sequentially).
     ds = sess.datasets[0]
+    if cfg.TEST.shuffle or len(sess.datasets) > 1:
+        print("skipping the dataset metric suite: predictions are not in "
+              "dataset row order (TEST.shuffle or a multi-dataset test "
+              "list); the aggregate errors above are exact")
+        return {"mpjpe": float(res["joint_err"])}
     if sess.is_gator and "pred_mesh_mm" in res and hasattr(ds, "evaluate"):
         pred = res["pred_mesh_mm"][:len(ds)]
         gt = res["mesh"][:len(ds)] * 1000.0

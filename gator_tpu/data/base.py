@@ -85,16 +85,18 @@ class SmplPoseDataset:
             if len(sel) == 0:
                 continue
             sub = idx[sel]
+            want_coco = self.opts.input_joint_name == "coco"
             out = synth.synthesize(
                 t.pose[sub], t.shape[sub], t.trans[sub], t.cam_r[sub],
                 t.cam_t[sub], t.focal[sub], t.princpt[sub],
                 joint_cam_h36m=(t.joint_cam_h36m[sub]
                                 - t.joint_cam_h36m[sub][:, :1]),
-                gender=g_name)
+                gender=g_name, want_coco=want_coco)
             groups.append((sel, synth.mesh_rel_m(
                 out["mesh_mm"], t.joint_cam_h36m[sub][:, :1])))
-            coco_cam[sel] = out["joint_cam_coco"]
-            coco_img[sel] = out["joint_img_coco"]
+            if want_coco:
+                coco_cam[sel] = out["joint_cam_coco"]
+                coco_img[sel] = out["joint_img_coco"]
             fit_err[sel] = out.get(
                 "fitting_error", np.zeros(len(sel), np.float32))
 
@@ -116,9 +118,9 @@ class SmplPoseDataset:
         opts = self.opts
         # vectorized root-relativization (reference: dataset.py:352-356)
         jc_h36m = t.joint_cam_h36m[idx]
-        cc = coco_cam - coco_cam[:, -2:-1]
         jh = jc_h36m - jc_h36m[:, :1]
         if opts.input_joint_name == "coco":
+            cc = coco_cam - coco_cam[:, -2:-1]
             joint_img_b, joint_cam_b = coco_img[:, :, :2], cc
         else:
             joint_img_b, joint_cam_b = t.joint_img_h36m[idx], jh

@@ -7,7 +7,10 @@ from `__getitem__:345`; see SURVEY.md §3 hot loops). Here GT meshes/joints
 for a whole batch are synthesized by ONE jitted program on the TPU:
 camera-rotation compensation of the root pose, gendered SMPL forward,
 translation compensation, joint regression, and COCO pelvis/neck synthesis
-are all batched einsums.
+are all batched einsums. Every einsum pins Precision.HIGHEST: these
+produce TRAINING TARGETS and fit-validity decisions, and the TPU's
+default bf16 matmul passthrough is multi-mm at mm-scale meshes (same
+rule as smpl_forward and the eval steps).
 """
 from __future__ import annotations
 
@@ -30,7 +33,8 @@ def rotate_root_pose(pose: jnp.ndarray, cam_r: jnp.ndarray) -> jnp.ndarray:
     transforms3d)."""
     root = pose[:, :3]
     rot = axis_angle_to_rotmat(root)
-    new_root = rotmat_to_axis_angle(jnp.einsum("bij,bjk->bik", cam_r, rot))
+    new_root = rotmat_to_axis_angle(jnp.einsum("bij,bjk->bik", cam_r, rot,
+                           precision=jax.lax.Precision.HIGHEST))
     return jnp.concatenate([new_root, pose[:, 3:]], axis=1)
 
 
@@ -72,11 +76,14 @@ class GtSynthesizer:
 
         # translation compensation: the root rotation was about the origin,
         # not the root joint (reference: dataset.py:287-295)
-        smpl_trans = (jnp.einsum("bij,bj->bi", cam_r, trans)
+        smpl_trans = (jnp.einsum("bij,bj->bi", cam_r, trans,
+                                  precision=jax.lax.Precision.HIGHEST)
                       + cam_t / 1000.0)
         root = joints[:, :1]                                 # [B,1,3]
         smpl_trans = (smpl_trans[:, None]
-                      - root + jnp.einsum("bij,bkj->bki", cam_r, root))
+                      - root + jnp.einsum(
+                          "bij,bkj->bki", cam_r, root,
+                          precision=jax.lax.Precision.HIGHEST))
         verts = (verts + smpl_trans) * 1000.0
         joints = (joints + smpl_trans) * 1000.0
         return verts, joints
@@ -125,7 +132,8 @@ class GtSynthesizer:
     def coco_weak_perspective(self, mesh_mm, s, t):
         """COCO joints from mesh + weak-perspective projection
         img = (cam_xy/1000) * s + t (reference: COCO/dataset.py:183-194)."""
-        cam = jnp.einsum("jv,bvc->bjc", self.j_reg_coco, mesh_mm)
+        cam = jnp.einsum("jv,bvc->bjc", self.j_reg_coco, mesh_mm,
+                         precision=jax.lax.Precision.HIGHEST)
         pelvis = 0.5 * (cam[:, self._lhip] + cam[:, self._rhip])
         neck = 0.5 * (cam[:, self._lsho] + cam[:, self._rsho])
         cam = jnp.concatenate([cam, pelvis[:, None], neck[:, None]], axis=1)
@@ -137,7 +145,8 @@ class GtSynthesizer:
     def coco_from_mesh(self, mesh_mm, focal, princpt):
         """COCO joints regressed from the mesh + pelvis/neck, camera and
         pixel coordinates (reference: Human36M/dataset.py:311-334)."""
-        cam = jnp.einsum("jv,bvc->bjc", self.j_reg_coco, mesh_mm)
+        cam = jnp.einsum("jv,bvc->bjc", self.j_reg_coco, mesh_mm,
+                         precision=jax.lax.Precision.HIGHEST)
         pelvis = 0.5 * (cam[:, self._lhip] + cam[:, self._rhip])
         neck = 0.5 * (cam[:, self._lsho] + cam[:, self._rsho])
         cam = jnp.concatenate([cam, pelvis[:, None], neck[:, None]], axis=1)
@@ -148,7 +157,8 @@ class GtSynthesizer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def h36m_from_mesh(self, mesh_mm):
-        return jnp.einsum("jv,bvc->bjc", self.j_reg_h36m, mesh_mm)
+        return jnp.einsum("jv,bvc->bjc", self.j_reg_h36m, mesh_mm,
+                          precision=jax.lax.Precision.HIGHEST)
 
     @functools.partial(jax.jit, static_argnums=0)
     def mesh_rel_m(self, mesh_mm, root_mm):
@@ -173,20 +183,26 @@ class GtSynthesizer:
                    trans: np.ndarray, cam_r: np.ndarray, cam_t: np.ndarray,
                    focal: np.ndarray, princpt: np.ndarray,
                    joint_cam_h36m: Optional[np.ndarray] = None,
-                   gender: str = "neutral") -> Dict[str, np.ndarray]:
-        """Full GT bundle for a batch (host numpy in/out)."""
+                   gender: str = "neutral",
+                   want_coco: bool = True) -> Dict[str, np.ndarray]:
+        """Full GT bundle for a batch (host numpy in/out).
+
+        want_coco=False skips the COCO joint regression + its host
+        fetches — human36-input training never reads them, and each
+        blocking fetch costs a full relay round-trip."""
         mesh_mm, smpl_joints_mm = self.smpl_mesh_cam(
             pose, shape, trans, cam_r, cam_t, gender)
-        coco_cam, coco_img = self.coco_from_mesh(mesh_mm, focal, princpt)
-        out = {
-            # the [B, V, 3] mesh stays a DEVICE array; callers that need it
-            # on host np.asarray it, the training path keeps it on device
-            "mesh_mm": mesh_mm,
-            "smpl_joints_mm": np.asarray(smpl_joints_mm),
-            "joint_cam_coco": np.asarray(coco_cam),
-            "joint_img_coco": np.asarray(coco_img),
-        }
+        small = {"smpl_joints_mm": smpl_joints_mm}
+        if want_coco:
+            coco_cam, coco_img = self.coco_from_mesh(mesh_mm, focal,
+                                                     princpt)
+            small["joint_cam_coco"] = coco_cam
+            small["joint_img_coco"] = coco_img
         if joint_cam_h36m is not None:
-            out["fitting_error"] = np.asarray(
-                self.fitting_error(joint_cam_h36m, mesh_mm))
+            small["fitting_error"] = self.fitting_error(joint_cam_h36m,
+                                                        mesh_mm)
+        # ONE device sync for every small array; the [B, V, 3] mesh stays
+        # a DEVICE array (the training path never pulls it to host)
+        out = jax.device_get(small)
+        out["mesh_mm"] = mesh_mm
         return out

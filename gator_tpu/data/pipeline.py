@@ -9,9 +9,11 @@ pool is needed for parity throughput.
 from __future__ import annotations
 
 import threading
-from queue import Queue
-from typing import Dict, Iterator, List, Optional, Sequence
+from queue import Empty, Queue
+from typing import Dict, Iterator, List, Sequence
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .base import SmplPoseDataset, mixed_epoch_indices
@@ -80,12 +82,20 @@ class BatchPipeline:
             parts.append(part)
             order[sel] = np.arange(pos, pos + len(sel))
             pos += len(sel)
-        merged = {k: np.concatenate([p[k] for p in parts])
-                  for k in parts[0]}
-        # restore the interleaved order so mixing isn't blocky
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
-        return {k: v[order] for k, v in merged.items()}
+        if len(parts) == 1:
+            # single dataset: `order` is the identity, and re-indexing
+            # would pull the on-device [B, V, 3] mesh to host — hand the
+            # part through untouched (the mesh stays a device array)
+            return parts[0]
+
+        # restore the interleaved order so mixing isn't blocky; device
+        # leaves (the GT mesh) merge on device, host leaves in numpy
+        def merge(vals):
+            if isinstance(vals[0], jax.Array):
+                return jnp.concatenate(vals)[jnp.asarray(order)]
+            return np.concatenate(vals)[order]
+
+        return {k: merge([p[k] for p in parts]) for k in parts[0]}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng((self.seed, self._epoch))
@@ -96,22 +106,38 @@ class BatchPipeline:
             return
 
         # background-thread prefetch: overlaps host assembly of batch k+1
-        # with device compute on batch k
+        # with device compute on batch k. Worker failures re-raise in the
+        # consumer (a swallowed error would silently truncate the epoch);
+        # abandoning the iterator mid-epoch unblocks and stops the worker.
         q: Queue = Queue(maxsize=self.prefetch)
         stop = object()
+        abort = threading.Event()
 
         def worker():
             try:
                 for pairs in plan:
+                    if abort.is_set():
+                        return
                     q.put(self._make(pairs, rng))
-            finally:
                 q.put(stop)
+            except BaseException as exc:   # noqa: BLE001 — relayed
+                q.put(exc)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        th.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            th.join()
+        finally:
+            abort.set()
+            try:                # unblock a worker waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except Empty:
+                pass

@@ -110,11 +110,19 @@ def batch_crop_and_normalize(
     w = x1 - x0
     h = y1 - y0
     cx, cy = x0 + (w - 1) / 2.0, y0 + (h - 1) / 2.0
+    # degenerate tight boxes (all joints coincident on an axis) take the
+    # scalar path's fallback crop (process_bbox -> None -> bbox
+    # [0, 0, 1, 1]: center (0.5, 0.5), unit source width) instead of a
+    # negative zoom / NaN standardization
+    bad = (w < 1.0) | (h < 1.0)
     # aspect snap (coords.process_bbox math, vectorized)
     w = w - 1.0
     h = h - 1.0
     h = np.where(w > aspect * h, w / aspect, h)
     w = np.where(w < aspect * h, h * aspect, w)
+    w = np.where(bad, 1.0, w)
+    cx = np.where(bad, 0.5, cx)
+    cy = np.where(bad, 0.5, cy)
 
     # affine: rotate about (cx, cy) by -rot (the reference's convention —
     # see augment.get_affine_transform), scale by res_w / w, recenter

@@ -319,3 +319,50 @@ def test_batched_detector_replacement_matches_scalar(small_assets):
             gt[i], jset, opts, np.random.default_rng(0), 0, 0.0,
             detected_pose=det3[i]) for i in range(b)])
     np.testing.assert_allclose(batched, scalar, atol=2e-4)
+
+
+def test_batch_crop_degenerate_bbox_matches_scalar_fallback(small_assets):
+    """Samples with a degenerate tight bbox must take the scalar path's
+    [0,0,1,1] fallback crop in the batched route too — the same values
+    as crop_and_normalize_input, not a negative zoom. (A FULLY coincident
+    pose still standardizes to NaN on both routes: the reference divides
+    by std with no epsilon, dataset.py:388-389 — parity-exact.)"""
+    from gator_tpu.data import processing
+    jset = small_assets.joint_set
+    opts = ProcessOptions(input_joint_name="human36", is_train=True)
+    rng_l = np.random.default_rng(5)
+    joints = rng_l.uniform(50, 900, size=(4, 17, 2)).astype(np.float32)
+    joints[1] = joints[1, :1]              # fully degenerate (w=h=0)
+    joints[2, :, 1] = joints[2, 0, 1]      # degenerate in y only
+    flips = np.zeros(4, np.int64)
+    rots = np.zeros(4, np.float32)
+    batch = processing.batch_crop_and_normalize(
+        joints, jset, opts, flips, rots)
+    for i in range(4):
+        scalar = processing.crop_and_normalize_input(
+            joints[i], jset, opts, np.random.default_rng(0), 0, 0.0)
+        np.testing.assert_allclose(batch[i], scalar, atol=2e-4,
+                                   equal_nan=True, err_msg=f"sample {i}")
+        np.testing.assert_array_equal(np.isfinite(batch[i]),
+                                      np.isfinite(scalar),
+                                      err_msg=f"sample {i} finiteness")
+    # non-degenerate samples stay fully finite
+    assert np.isfinite(batch[0]).all() and np.isfinite(batch[3]).all()
+
+
+def test_pipeline_worker_exception_propagates(small_assets):
+    """A failure inside batch assembly must surface in the consuming
+    thread, not silently truncate the epoch."""
+    from gator_tpu.data.pipeline import BatchPipeline
+
+    class Boom:
+        def __len__(self):
+            return 8
+
+        def make_batch(self, indices, synth, rng, stage="gator"):
+            raise RuntimeError("assembly exploded")
+
+    pipe = BatchPipeline([Boom()], synthesizer=None, batch_size=4,
+                         shuffle=False, prefetch=2)
+    with pytest.raises(RuntimeError, match="assembly exploded"):
+        list(pipe)
