@@ -44,13 +44,8 @@ def parse_args(argv=None):
 def add_pelvis_neck_3(joints, names):
     """Pelvis/neck synthesis for [J, 3] (x, y, score) input
     (reference: demo/run.py:103-121 — score = product of parents)."""
-    lhip, rhip = names.index("L_Hip"), names.index("R_Hip")
-    lsho, rsho = names.index("L_Shoulder"), names.index("R_Shoulder")
-    pelvis = 0.5 * (joints[lhip] + joints[rhip])
-    pelvis[2] = joints[lhip, 2] * joints[rhip, 2]
-    neck = 0.5 * (joints[lsho] + joints[rsho])
-    neck[2] = joints[lsho, 2] * joints[rsho, 2]
-    return np.concatenate([joints, pelvis[None], neck[None]])
+    from ..data.processing import add_pelvis_neck_scores
+    return add_pelvis_neck_scores(joints[None], names)[0]
 
 
 def run_demo(pose_path: str, joint_set: str = "coco",
@@ -97,7 +92,8 @@ def run_demo(pose_path: str, joint_set: str = "coco",
     pred_mesh = np.asarray(mesh[0])                   # [V, 3] meters
     j_reg = (assets.j_regressor_coco if joint_set == "coco"
              else assets.j_regressor_h36m)
-    pred_joints = jnp.einsum("jv,vc->jc", jnp.asarray(j_reg), mesh[0])
+    pred_joints = jnp.einsum("jv,vc->jc", jnp.asarray(j_reg), mesh[0],
+                             precision=jax.lax.Precision.HIGHEST)
 
     target = jnp.asarray(proj_target[None, :17, :2])
     if adam_fit:

@@ -50,15 +50,10 @@ def parse_args(argv=None):
 
 def add_pelvis_neck_batch(joints: np.ndarray, names) -> np.ndarray:
     """[N, 17, 3] (x, y, score) -> [N, 19, 3] with synthesized pelvis and
-    neck (reference: demo/run.py:103-121 — score = product of parents)."""
-    lhip, rhip = names.index("L_Hip"), names.index("R_Hip")
-    lsho, rsho = names.index("L_Shoulder"), names.index("R_Shoulder")
-    pelvis = 0.5 * (joints[:, lhip] + joints[:, rhip])
-    pelvis[:, 2] = joints[:, lhip, 2] * joints[:, rhip, 2]
-    neck = 0.5 * (joints[:, lsho] + joints[:, rsho])
-    neck[:, 2] = joints[:, lsho, 2] * joints[:, rsho, 2]
-    return np.concatenate(
-        [joints, pelvis[:, None], neck[:, None]], axis=1)
+    neck (reference: demo/run.py:103-121); shared implementation in
+    data/processing.py."""
+    from ..data.processing import add_pelvis_neck_scores
+    return add_pelvis_neck_scores(joints, names)
 
 
 def run_serve(pose_path: str, joint_set: str = "coco",

@@ -235,3 +235,17 @@ def gator_targets(
         "reg_valid": reg_valid,
         "lift_valid": lift_valid,
     }
+
+
+def add_pelvis_neck_scores(joints: np.ndarray, names) -> np.ndarray:
+    """[N, 17, 3] (x, y, score) -> [N, 19, 3] with synthesized pelvis and
+    neck; the synthesized score is the product of the parents'
+    (reference: demo/run.py:103-121). Shared by the demo and serve CLIs."""
+    lhip, rhip = names.index("L_Hip"), names.index("R_Hip")
+    lsho, rsho = names.index("L_Shoulder"), names.index("R_Shoulder")
+    pelvis = 0.5 * (joints[:, lhip] + joints[:, rhip])
+    pelvis[:, 2] = joints[:, lhip, 2] * joints[:, rhip, 2]
+    neck = 0.5 * (joints[:, lsho] + joints[:, rsho])
+    neck[:, 2] = joints[:, lsho, 2] * joints[:, rsho, 2]
+    return np.concatenate(
+        [joints, pelvis[:, None], neck[:, None]], axis=1)

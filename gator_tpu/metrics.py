@@ -62,11 +62,13 @@ def procrustes_align(pred, gt):
                    precision=jax.lax.Precision.HIGHEST) / n
     u, s, vh = jnp.linalg.svd(h)
     # det(R) where R = V U^T; flip the last singular pair when negative
-    det = jnp.linalg.det(jnp.einsum("bji,bkj->bik", vh, u))
+    det = jnp.linalg.det(jnp.einsum("bji,bkj->bik", vh, u,
+                                    precision=jax.lax.Precision.HIGHEST))
     sign = jnp.where(det < 0, -1.0, 1.0)
     s_fixed = s.at[:, -1].multiply(sign)
     vh_fixed = vh.at[:, -1, :].multiply(sign[:, None])
-    rot = jnp.einsum("bji,bkj->bik", vh_fixed, u)       # V U^T
+    rot = jnp.einsum("bji,bkj->bik", vh_fixed, u,       # V U^T
+                     precision=jax.lax.Precision.HIGHEST)
     var_a = a0.var(axis=1).sum(axis=-1)                 # biased var, summed
     scale = s_fixed.sum(axis=-1) / var_a
     aligned = (scale[:, None, None]

@@ -85,6 +85,11 @@ def save_loss_plot(values, path: str, title: str = "Train Loss"):
 
 
 def pyrender_available() -> bool:
+    # the EGL selection must precede the FIRST pyrender/PyOpenGL import —
+    # OpenGL picks its platform at import time (reference sets it at
+    # module top: demo/renderer.py:1-2)
+    import os as _os
+    _os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
     try:
         import pyrender  # noqa: F401
         import trimesh   # noqa: F401
