@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -110,7 +111,8 @@ def mano_forward(params: ManoParams, pose_coeffs: jnp.ndarray,
     b = pose_coeffs.shape[0]
     root = pose_coeffs[:, :3]
     hand_pose = params.hands_mean + jnp.einsum(
-        "bc,cp->bp", pose_coeffs[:, 3:], params.selected_comps)
+        "bc,cp->bp", pose_coeffs[:, 3:], params.selected_comps,
+        precision=jax.lax.Precision.HIGHEST)
     full_pose = jnp.concatenate([root, hand_pose], axis=1)  # [B, 48]
 
     n = len(params.parents)
@@ -118,24 +120,32 @@ def mano_forward(params: ManoParams, pose_coeffs: jnp.ndarray,
     pose_feature = rotmat_flat_minus_id(rotmats[:, 1:])     # [B, 135]
 
     v_shaped = params.v_template + jnp.einsum(
-        "vcs,bs->bvc", params.shapedirs, betas)
-    joints_rest = jnp.einsum("jv,bvc->bjc", params.j_regressor, v_shaped)
+        "vcs,bs->bvc", params.shapedirs, betas,
+        precision=jax.lax.Precision.HIGHEST)
+    joints_rest = jnp.einsum("jv,bvc->bjc", params.j_regressor, v_shaped,
+        precision=jax.lax.Precision.HIGHEST)
     v_posed = v_shaped + jnp.einsum(
-        "vcp,bp->bvc", params.posedirs, pose_feature)
+        "vcp,bp->bvc", params.posedirs, pose_feature,
+        precision=jax.lax.Precision.HIGHEST)
 
     rots, locs = [rotmats[:, 0]], [joints_rest[:, 0]]
     for i in range(1, n):
         p = params.parents[i]
         off = joints_rest[:, i] - joints_rest[:, p]
-        rots.append(jnp.einsum("bxy,byz->bxz", rots[p], rotmats[:, i]))
-        locs.append(locs[p] + jnp.einsum("bxy,by->bx", rots[p], off))
+        rots.append(jnp.einsum("bxy,byz->bxz", rots[p], rotmats[:, i],
+        precision=jax.lax.Precision.HIGHEST))
+        locs.append(locs[p] + jnp.einsum("bxy,by->bx", rots[p], off,
+        precision=jax.lax.Precision.HIGHEST))
     rot_g = jnp.stack(rots, 1)
     joints = jnp.stack(locs, 1)
-    t_rel = joints - jnp.einsum("bjxy,bjy->bjx", rot_g, joints_rest)
+    t_rel = joints - jnp.einsum("bjxy,bjy->bjx", rot_g, joints_rest,
+        precision=jax.lax.Precision.HIGHEST)
     a_rel = jnp.concatenate([rot_g, t_rel[..., None]], -1)
     t_vert = jnp.einsum("vj,bjk->bvk", params.weights,
-                        a_rel.reshape(b, n, 12)).reshape(b, -1, 3, 4)
-    verts = jnp.einsum("bvxy,bvy->bvx", t_vert[..., :3], v_posed) \
+                        a_rel.reshape(b, n, 12),
+        precision=jax.lax.Precision.HIGHEST).reshape(b, -1, 3, 4)
+    verts = jnp.einsum("bvxy,bvy->bvx", t_vert[..., :3], v_posed,
+        precision=jax.lax.Precision.HIGHEST) \
         + t_vert[..., 3]
     if trans is not None:
         verts = verts + trans[:, None]

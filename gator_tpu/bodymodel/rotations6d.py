@@ -5,6 +5,7 @@ Capability parity with manopth's rot6d / rotproj utilities
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,8 +32,10 @@ def project_to_rotation(mat: jnp.ndarray) -> jnp.ndarray:
     """Nearest rotation matrix by SVD with determinant correction
     (reference: manopth/manopth/rotproj.py:4-21), batched."""
     u, _, vh = jnp.linalg.svd(mat)
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vh))
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vh,
+        precision=jax.lax.Precision.HIGHEST))
     d = jnp.concatenate(
         [jnp.ones_like(det)[..., None], jnp.ones_like(det)[..., None],
          det[..., None]], axis=-1)
-    return jnp.einsum("...ij,...j,...jk->...ik", u, d, vh)
+    return jnp.einsum("...ij,...j,...jk->...ik", u, d, vh,
+        precision=jax.lax.Precision.HIGHEST)

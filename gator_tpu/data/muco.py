@@ -131,7 +131,8 @@ class MucoDataset:
             jreg = jnp.asarray(self.assets.j_regressor_h36m[mask])
 
             def f(gt, mesh):
-                reg = jnp.einsum("jv,bvc->bjc", jreg, mesh)
+                reg = jnp.einsum("jv,bvc->bjc", jreg, mesh,
+                                 precision=jax.lax.Precision.HIGHEST)
                 reg = reg - reg.mean(1, keepdims=True) \
                     + gt.mean(1, keepdims=True)
                 return jnp.sqrt(((gt - reg) ** 2).sum(-1)).mean(-1)

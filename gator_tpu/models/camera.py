@@ -53,8 +53,10 @@ def fit_camera_closed_form(pose3d: jnp.ndarray, target2d: jnp.ndarray,
     a_y = jnp.concatenate([x[..., 1:2], zeros, ones], axis=-1)
     a = jnp.concatenate([a_x, a_y], axis=1)              # [B, 2J, 3]
     rhs = jnp.concatenate([y[..., 0], y[..., 1]], axis=1)  # [B, 2J]
-    ata = jnp.einsum("bni,bnj->bij", a, a)
-    atb = jnp.einsum("bni,bn->bi", a, rhs)
+    ata = jnp.einsum("bni,bnj->bij", a, a,
+        precision=jax.lax.Precision.HIGHEST)
+    atb = jnp.einsum("bni,bn->bi", a, rhs,
+        precision=jax.lax.Precision.HIGHEST)
     sol = jnp.linalg.solve(ata, atb[..., None])[..., 0]  # [B, 3]
     s = sol[:, :1]
     t = sol[:, 1:] / jnp.where(jnp.abs(s) < 1e-8, 1e-8, s)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,13 +34,15 @@ class MeshResampler:
                    n2: int = 1) -> jnp.ndarray:
         """x [..., V, C]; levels n1..n2 as in the reference API."""
         for i in range(n1, n2):
-            x = jnp.einsum("wv,...vc->...wc", self.down[i], x)
+            x = jnp.einsum("wv,...vc->...wc", self.down[i], x,
+        precision=jax.lax.Precision.HIGHEST)
         return x
 
     def upsample(self, x: jnp.ndarray, n1: int = 1,
                  n2: int = 0) -> jnp.ndarray:
         for i in reversed(range(n2, n1)):
-            x = jnp.einsum("vw,...wc->...vc", self.up[i], x)
+            x = jnp.einsum("vw,...wc->...vc", self.up[i], x,
+        precision=jax.lax.Precision.HIGHEST)
         return x
 
 
@@ -60,7 +63,8 @@ class GraphConvolution(nn.Module):
                        (in_f, self.features))
         adj = jnp.asarray(self.adjacency, self.dtype)
         out = jnp.einsum("vw,...wf,fo->...vo", adj,
-                         x.astype(self.dtype), w.astype(self.dtype))
+                         x.astype(self.dtype), w.astype(self.dtype),
+        precision=jax.lax.Precision.HIGHEST)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             out = out + b

@@ -88,8 +88,11 @@ def make_gator_train_step(
                 params, state.batch_stats, batch["pose2d"], dropout_rng)
             mesh = mesh.astype(jnp.float32)
             lift_pose = lift_pose.astype(jnp.float32)
-            # mesh->target-joint regression in mm (reference: base.py:136)
-            pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh * 1000.0)
+            # mesh->target-joint regression in mm (reference: base.py:136);
+            # mesh is f32 here and the reg_joint loss is parity math — pin
+            # true-f32 (the [17,6890] dot is ~0.4 GFLOP/batch, negligible)
+            pred_pose = jnp.einsum("jv,bvc->bjc", j_reg, mesh * 1000.0,
+                                   precision=jax.lax.Precision.HIGHEST)
             out = losses.gator_loss(
                 mesh, pred_pose, lift_pose,
                 batch["mesh"], batch["reg_pose3d"], batch["lift_pose3d"],
