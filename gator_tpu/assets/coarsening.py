@@ -36,32 +36,44 @@ def build_mesh_graph(faces: np.ndarray, num_vertex: int) -> sp.csr_matrix:
 
 
 def heavy_edge_matching(w: sp.csr_matrix,
-                        rng: np.random.Generator | None = None
-                        ) -> np.ndarray:
-    """One Graclus/HEM pass: pair each unmatched vertex with the neighbor
-    maximizing the normalized-cut weight w_ij (1/d_i + 1/d_j); visit order =
-    increasing degree (deterministic, like reference coarsening.py:67-150).
-    Returns cluster ids [N]."""
+                        degree: np.ndarray | None = None) -> np.ndarray:
+    """One Graclus/HEM pass, mirroring the reference's ENABLED scoring
+    (the "second approach", coarsening.py:186-197):
+        score(v, u) = (2 W_vu + W_vv + W_uu) / (d_v + d_u + 1e-9)
+    where W_ii is the FIRST STORED value of row i (the reference indexes
+    vv[rowstart[i]] — a quirk preserved deliberately), `degree` is the
+    caller-supplied Graclus weight vector (reference HEM passes colsum
+    minus the diagonal at level 0 and plain colsum afterwards,
+    coarsening.py:95-148), and a neighbor only wins with a strictly
+    positive score (wmax starts at 0). Visit order = increasing column
+    sum (reference: rid = argsort(W.sum(axis=0))). Returns cluster ids.
+    """
+    w = sp.csr_matrix(w)
     n = w.shape[0]
-    degree = np.asarray(w.sum(axis=1)).ravel()
-    order = np.argsort(degree, kind="stable")
+    colsum = np.asarray(w.sum(axis=0)).ravel()
+    if degree is None:
+        degree = colsum
+    order = np.argsort(colsum, kind="stable")
+    indptr, indices, data = w.indptr, w.indices, w.data
+    first_val = np.zeros(n)
+    has_row = indptr[1:] > indptr[:-1]
+    first_val[has_row] = data[indptr[:-1][has_row]]
     matched = np.zeros(n, dtype=bool)
     cluster = np.full(n, -1, dtype=np.int64)
     cid = 0
-    inv_deg = np.where(degree > 0, 1.0 / np.maximum(degree, 1e-12), 0.0)
-    indptr, indices, data = w.indptr, w.indices, w.data
     for v in order:
         if matched[v]:
             continue
-        best, best_w = -1, -np.inf
+        matched[v] = True          # before the scan: self-loops skip
+        best, best_w = -1, 0.0
         for k in range(indptr[v], indptr[v + 1]):
             u = indices[k]
-            if matched[u] or u == v:
+            if matched[u]:
                 continue
-            score = data[k] * (inv_deg[v] + inv_deg[u])
+            score = (2.0 * data[k] + first_val[v] + first_val[u]) \
+                / (degree[v] + degree[u] + 1e-9)
             if score > best_w:
                 best_w, best = score, u
-        matched[v] = True
         cluster[v] = cid
         if best >= 0:
             matched[best] = True
@@ -70,15 +82,18 @@ def heavy_edge_matching(w: sp.csr_matrix,
     return cluster
 
 
-def _coarsen_one(w: sp.csr_matrix) -> Tuple[sp.csr_matrix, np.ndarray]:
-    cluster = heavy_edge_matching(w)
+def _coarsen_one(w: sp.csr_matrix,
+                 degree: np.ndarray) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """One coarsening level. Intra-cluster edges accumulate on the coarse
+    DIAGONAL (self-loops kept, exactly like the reference HEM loop,
+    coarsening.py:124-135 — they feed the next level's degrees and
+    Wii terms)."""
+    cluster = heavy_edge_matching(w, degree)
     n_coarse = int(cluster.max()) + 1
-    rows = cluster[w.tocoo().row]
-    cols = cluster[w.tocoo().col]
     coo = w.tocoo()
-    wc = sp.coo_matrix((coo.data, (rows, cols)),
-                       shape=(n_coarse, n_coarse)).tocsr()
-    wc.setdiag(0)
+    wc = sp.csr_matrix(
+        (coo.data, (cluster[coo.row], cluster[coo.col])),
+        shape=(n_coarse, n_coarse))
     wc.eliminate_zeros()
     return wc, cluster
 
@@ -115,8 +130,12 @@ def perm_adjacency(w: sp.csr_matrix, perm: np.ndarray) -> sp.csr_matrix:
         w = sp.vstack([w, pad]).tocsc()
         pad = sp.csc_matrix((n_new, n_new - n), dtype=w.dtype)
         w = sp.hstack([w, pad]).tocsr()
-    inv = np.argsort(perm)
-    return w[inv][:, inv]
+    # new[i, j] = old[perm[i], perm[j]] — the reference maps old row r to
+    # new row argsort(indices)[r], i.e. new = old[indices][:, indices]
+    # (coarsening.py:281-284); the binary-tree slots (2i, 2i+1) then hold
+    # the children listed by compute_perm
+    perm = np.asarray(perm)
+    return sp.csr_matrix(w[perm][:, perm])
 
 
 def perm_index_reverse(perm: np.ndarray) -> np.ndarray:
@@ -154,40 +173,51 @@ def rescale_l(lap, lmax: float, scale: float = 1.0):
 
 
 def coarsen(adj: sp.spmatrix, levels: int):
-    """Multilevel coarsening: per-level (permuted) adjacencies + the
-    level-0 vertex permutation (reference: lib/coarsening.py:43-64)."""
+    """Multilevel coarsening: levels+1 (permuted) adjacencies + the
+    level-0 vertex permutation (reference: lib/coarsening.py:43-64).
+    Degree handling follows the reference HEM driver: level 0 uses
+    colsum minus the diagonal, later levels plain colsum (self-loops
+    included, coarsening.py:95-148); the coarsest graph is left
+    unpermuted (reference: `if i < levels`)."""
     w = sp.csr_matrix(adj)
     graphs = [w]
     parents = []
+    degree = np.asarray(w.sum(axis=0)).ravel() - w.diagonal()
     for _ in range(levels):
-        w, cluster = _coarsen_one(w)
+        w, cluster = _coarsen_one(w, degree)
         parents.append(cluster)
         graphs.append(w)
+        degree = np.asarray(w.sum(axis=0)).ravel()
     perms = compute_perm(parents)
     graphs_out = []
     for i, g in enumerate(graphs):
-        if i < len(perms):
+        if i < levels:
             g = perm_adjacency(g, perms[i])
-        graphs_out.append(g.tocsr())
+        g = g.tocsr()
+        g.eliminate_zeros()
+        graphs_out.append(g)
     return graphs_out, perms[0] if perms else np.arange(w.shape[0])
 
 
 def build_coarse_graphs(mesh_faces: np.ndarray, joint_adjacency: np.ndarray,
                         levels: int = 9):
     """Full reference pipeline: coarsen the mesh graph `levels` times, then
-    splice the joint graph as the last level
-    (reference: lib/graph_utils.py:92-112).
-    Returns (adjacencies, rescaled laplacians, perm, perm_reverse)."""
+    REPLACE the coarsest level with the joint graph
+    (reference: lib/graph_utils.py:92-112). Returns levels+1 entries —
+    mesh levels 0..levels-1 plus the joint graph — with only the MESH
+    Laplacians rescaled (the reference's `for i in range(levels)` leaves
+    the joint Laplacian raw-normalized).
+    Returns (adjacencies, laplacians, perm, perm_reverse)."""
     num_vertex = int(mesh_faces.max()) + 1
     mesh_adj = build_mesh_graph(mesh_faces, num_vertex)
     graphs, perm0 = coarsen(mesh_adj, levels)
-    graphs = graphs[:levels]
 
     joint = sp.csr_matrix(np.asarray(joint_adjacency, np.float32))
     joint.eliminate_zeros()
-    adjacencies = graphs[:-1] + [joint]
+    adjacencies = graphs[:levels] + [joint]
     laplacians = []
-    for g in adjacencies:
+    for g in adjacencies[:levels]:
         lap = laplacian(g, normalized=True)
         laplacians.append(rescale_l(lap, lmax_l(lap)))
+    laplacians.append(laplacian(joint, normalized=True))
     return adjacencies, laplacians, perm0, perm_index_reverse(perm0)

@@ -48,10 +48,20 @@ def available() -> bool:
     return load_library() is not None
 
 
+def _require_library():
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError(
+            "native graph-precompute library not built: run "
+            "`make -C native` (or call with use_native=False / check "
+            "native.available() first)")
+    return lib
+
+
 def floyd_warshall(adjacency: np.ndarray, sentinel: int = 510):
     """Native all-pairs hops + path matrix; raises if disconnected
     (same contract as graphs.floyd_warshall)."""
-    lib = load_library()
+    lib = _require_library()
     adj = np.ascontiguousarray(adjacency, np.float32)
     off = adj.copy()
     np.fill_diagonal(off, 0.0)
@@ -66,7 +76,7 @@ def floyd_warshall(adjacency: np.ndarray, sentinel: int = 510):
 
 def gen_edge_input(max_dist: int, path: np.ndarray,
                    edge_feat: np.ndarray, sentinel: int = 510):
-    lib = load_library()
+    lib = _require_library()
     n = path.shape[0]
     out = np.empty((n, n, max_dist), np.float32)
     lib.gator_gen_edge_input(
@@ -78,7 +88,7 @@ def gen_edge_input(max_dist: int, path: np.ndarray,
 
 def hem_match(w_csr) -> np.ndarray:
     """Native Graclus HEM pass over a scipy CSR matrix."""
-    lib = load_library()
+    lib = _require_library()
     n = w_csr.shape[0]
     cluster = np.empty(n, np.int32)
     lib.gator_hem_match(

@@ -196,6 +196,10 @@ def synthetic_smpl(vertex_num: int = VERTEX_NUM, seed: int = 0,
     posedirs = rng.normal(
         0, 0.001, size=(vertex_num, 3, POSE_BLEND_DIM)).astype(np.float32)
 
+    if vertex_num < 3:
+        raise ValueError(
+            f"vertex_num={vertex_num}: a triangle mesh needs >= 3 "
+            "distinct vertices")
     if face_num is None:
         face_num = 2 * vertex_num - 4 if vertex_num >= 4 else 1
     faces = rng.integers(0, vertex_num, size=(face_num, 3)).astype(np.int32)

@@ -125,7 +125,13 @@ def load_config(yaml_path: Optional[str] = None,
                 raw[k] = v
     updates = {}
     for key, val in raw.items():
-        if key in _SECTIONS and isinstance(val, dict):
+        if key in _SECTIONS:
+            if val is None:          # e.g. 'AUG:' with every key commented
+                continue
+            if not isinstance(val, dict):
+                raise ValueError(
+                    f"config section {key} must be a mapping, got "
+                    f"{type(val).__name__}")
             updates[key] = _replace_section(getattr(cfg, key), val)
         elif hasattr(cfg, key):
             updates[key] = val

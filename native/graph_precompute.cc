@@ -94,16 +94,23 @@ void gator_gen_edge_input(const int32_t* path, const float* edge_feat,
   }
 }
 
-// One Graclus heavy-edge-matching pass over a CSR graph.
-// Matches each unmatched vertex (visited in increasing-degree order) with
-// the unmatched neighbor maximizing w_ij * (1/d_i + 1/d_j).
+// One Graclus heavy-edge-matching pass over a symmetric CSR graph,
+// mirroring assets/coarsening.py heavy_edge_matching (itself the
+// reference's ENABLED "second approach", lib/coarsening.py:186-197):
+// visit order = increasing column sum; score(v, u) =
+// (2 W_vu + fv[v] + fv[u]) / (d_v + d_u + 1e-9) where fv[i] is the FIRST
+// stored value of row i (the reference's vv[rowstart] quirk) and the
+// degree is the plain column sum; only strictly positive scores match.
 // cluster_out: [n] cluster ids. Returns the number of clusters.
 int gator_hem_match(const int32_t* indptr, const int32_t* indices,
                     const float* data, int n, int32_t* cluster_out) {
   std::vector<double> degree(n, 0.0);
-  for (int v = 0; v < n; ++v)
+  std::vector<double> first_val(n, 0.0);
+  for (int v = 0; v < n; ++v) {
     for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e)
-      degree[v] += data[e];
+      degree[v] += data[e];  // symmetric: row sum == column sum
+    if (indptr[v + 1] > indptr[v]) first_val[v] = data[indptr[v]];
+  }
   std::vector<int> order(n);
   std::iota(order.begin(), order.end(), 0);
   std::stable_sort(order.begin(), order.end(),
@@ -114,17 +121,16 @@ int gator_hem_match(const int32_t* indptr, const int32_t* indices,
   for (int idx = 0; idx < n; ++idx) {
     const int v = order[idx];
     if (matched[v]) continue;
+    matched[v] = 1;  // before the scan, so self-loop entries are skipped
     int best = -1;
-    double best_w = -std::numeric_limits<double>::infinity();
-    const double inv_v = degree[v] > 0 ? 1.0 / degree[v] : 0.0;
+    double best_w = 0.0;
     for (int32_t e = indptr[v]; e < indptr[v + 1]; ++e) {
       const int u = indices[e];
-      if (u == v || matched[u]) continue;
-      const double inv_u = degree[u] > 0 ? 1.0 / degree[u] : 0.0;
-      const double score = data[e] * (inv_v + inv_u);
+      if (matched[u]) continue;
+      const double score = (2.0 * data[e] + first_val[v] + first_val[u]) /
+                           (degree[v] + degree[u] + 1e-9);
       if (score > best_w) { best_w = score; best = u; }
     }
-    matched[v] = 1;
     cluster_out[v] = cid;
     if (best >= 0) { matched[best] = 1; cluster_out[best] = cid; }
     ++cid;

@@ -67,8 +67,9 @@ def test_coarsening_pipeline():
         joint_adj[a, b] = joint_adj[b, a] = 1
     adjs, laps, perm, perm_rev = coarsening.build_coarse_graphs(
         faces, joint_adj, levels=3)
-    assert len(adjs) == 3 and len(laps) == 3
-    # last level is the joint graph
+    # reference layout: levels+1 entries — mesh levels 0..levels-1, then
+    # the joint graph spliced over the coarsest (graph_utils.py:92-112)
+    assert len(adjs) == 4 and len(laps) == 4
     assert adjs[-1].shape == (17, 17)
     # each level roughly halves (with fake-node padding to powers of 2)
     assert adjs[0].shape[0] >= n * n
@@ -76,9 +77,37 @@ def test_coarsening_pipeline():
     # permutation round trip recovers original indices
     orig = perm_rev[np.arange(n * n)]
     assert len(np.unique(orig)) == n * n
-    # rescaled laplacian eigenvalues live in [-1, 1]
-    ev = np.linalg.eigvalsh(laps[-1].toarray())
+    # MESH laplacians are rescaled to [-1, 1]; the joint laplacian stays
+    # raw-normalized in [0, 2] (the reference's range(levels) loop)
+    ev = np.linalg.eigvalsh(laps[0].toarray())
     assert ev.min() > -1.01 and ev.max() < 1.01
+    ev_j = np.linalg.eigvalsh(laps[-1].toarray())
+    assert ev_j.min() > -0.01 and ev_j.max() < 2.01
+
+
+def test_compute_perm_matches_reference_vector():
+    """The reference module's own inline sanity vector
+    (lib/coarsening.py:261-262)."""
+    out = coarsening.compute_perm(
+        [np.array([4, 1, 1, 2, 2, 3, 0, 0, 3]), np.array([2, 1, 0, 1, 0])])
+    assert [list(x) for x in out] == [
+        [3, 4, 0, 9, 1, 2, 5, 8, 6, 7, 10, 11], [2, 4, 1, 3, 0, 5],
+        [0, 1, 2]]
+
+
+def test_perm_adjacency_places_edges_at_permuted_slots():
+    """new[i, j] == old[perm[i], perm[j]] (reference coarsening.py:281-284
+    maps old row r to argsort(indices)[r]); fake slots stay zero-degree."""
+    import scipy.sparse as sp
+    old = np.zeros((3, 3), np.float32)
+    old[0, 1] = old[1, 0] = 1.0
+    old[1, 2] = old[2, 1] = 2.0
+    perm = np.array([1, 3, 0, 2])      # slot3 = fake node
+    new = coarsening.perm_adjacency(sp.csr_matrix(old), perm).toarray()
+    padded = np.zeros((4, 4), np.float32)
+    padded[:3, :3] = old
+    np.testing.assert_array_equal(new, padded[perm][:, perm])
+    assert new[1].sum() == 0           # fake slot has no edges
 
 
 def test_hem_matching_properties():
@@ -93,6 +122,11 @@ def test_hem_matching_properties():
     # each cluster has 1 or 2 members
     counts = np.bincount(cluster)
     assert counts.max() <= 2 and counts.min() >= 1
+    # reference scoring: with uniform weights and a strictly-positive
+    # score requirement, an isolated vertex stays a singleton
+    iso = sp.csr_matrix(np.diag([0.0, 0, 0]))
+    c_iso = coarsening.heavy_edge_matching(iso)
+    assert len(np.unique(c_iso)) == 3
 
 
 def test_mano_forward(rng):
