@@ -152,3 +152,27 @@ def test_gat_stage_parity(workdirs, real_assets_h36m):
     fscale = max(1.0, float(np.abs(ref_feat.numpy()).max()))
     _assert_close(np.asarray(feat) / fscale, ref_feat.numpy() / fscale,
                   1e-5, "features (rel)")
+
+
+def test_check_real_checkpoint_tool(tmp_path, workdirs, real_assets_h36m):
+    """tools/check_real_checkpoint.py — the docs/REPRODUCE.md converter
+    gate — passes on a reference-format .pth.tar (DataParallel 'module.'
+    prefixes + model_state_dict wrapper) and exits 0."""
+    import importlib.util
+    import os
+
+    torch.manual_seed(31)
+    ref_model = oracle.build_reference_gator(
+        real_assets_h36m, workdirs["human36"], alpha=True)
+    ckpt = {"model_state_dict": {
+        "module." + k: v for k, v in ref_model.state_dict().items()},
+        "epoch": 30}
+    path = str(tmp_path / "fake_h36m.pth.tar")
+    torch.save(ckpt, path)
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "check_real_checkpoint.py")
+    spec_ = importlib.util.spec_from_file_location("check_real_ckpt", tool)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    assert mod.main([path, "--joint_set", "human36", "--cpu"]) == 0
