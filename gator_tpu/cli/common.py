@@ -24,6 +24,19 @@ from ..train import (TrainState, make_gat_eval_step, make_gat_train_step,
 from ..train.schedule import ReduceLROnPlateau
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache for every CLI run (same policy as
+    bench.py): repeat invocations skip recompiles — on hosts that reach
+    the TPU through a relay those cost minutes each. Idempotent;
+    JAX_CACHE_DIR overrides the location."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:   # noqa: BLE001 — cache is an optimization only
+        pass
+
+
 def resolve_data_dirs(cfg: Config) -> List[str]:
     dirs = []
     env = os.environ.get("GATOR_DATA_DIR")
@@ -78,8 +91,9 @@ class Session:
 
     def __init__(self, cfg: Config, is_train: bool = True,
                  debug: bool = False, synthetic: bool = False,
-                 assets=None):
+                 assets=None, synthetic_n: int = 256):
         self.cfg = cfg
+        enable_compile_cache()
         names = (cfg.DATASET.train_list if is_train
                  else cfg.DATASET.test_list)
         if synthetic:
@@ -90,7 +104,8 @@ class Session:
             cfg.DATASET.input_joint_set, data_dirs=resolve_data_dirs(cfg))
         self.synth = GtSynthesizer(self.assets)
         self.datasets = build_datasets(cfg, self.assets, names, is_train,
-                                       debug=debug)
+                                       debug=debug,
+                                       synthetic_n=synthetic_n)
         self.is_gator = cfg.MODEL.name == "GATOR"
 
         if self.is_gator:

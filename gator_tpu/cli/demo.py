@@ -136,6 +136,8 @@ def run_demo(pose_path: str, joint_set: str = "coco",
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+    enable_compile_cache()
     args = parse_args(argv)
     return run_demo(args.input_pose, args.joint_set, args.weights,
                     args.output_dir, args.input_img, args.adam_fit)

@@ -129,6 +129,8 @@ def run_serve(pose_path: str, joint_set: str = "coco",
 
 
 def main(argv=None):
+    from .common import enable_compile_cache
+    enable_compile_cache()
     a = parse_args(argv)
     return run_serve(a.input_poses, a.joint_set, a.weights, a.output,
                      a.joints_output, a.obj_dir, a.obj_every,

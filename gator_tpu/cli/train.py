@@ -18,9 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import load_config
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import (make_mesh, replicate, shard_batch, stack_batches,
+                        superbatch_sharding)
 from ..train import (TrainState, jit_data_parallel, load_checkpoint,
-                     pick_checkpoint, run_eval, save_checkpoint)
+                     make_multi_step, pick_checkpoint, run_eval,
+                     save_checkpoint)
 from ..train.schedule import set_learning_rate
 from ..vis import save_loss_plot
 from .common import Session
@@ -34,6 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--resume_training", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic dataset (no downloads)")
+    p.add_argument("--synthetic_n", type=int, default=256,
+                   help="synthetic dataset size (with --synthetic)")
     p.add_argument("--exp_dir", type=str, default=None)
     p.add_argument("--epochs", type=int, default=None,
                    help="override cfg.TRAIN.end_epoch")
@@ -54,7 +58,8 @@ def main(argv=None):
     print(f"experiment dir: {exp_dir}")
 
     sess = Session(cfg, is_train=True, debug=args.debug,
-                   synthetic=args.synthetic)
+                   synthetic=args.synthetic,
+                   synthetic_n=args.synthetic_n)
     eval_sess = Session(cfg, is_train=False, debug=args.debug,
                         synthetic=args.synthetic, assets=sess.assets)
 
@@ -106,6 +111,12 @@ def main(argv=None):
     print(f"devices: {jax.device_count()} ({mesh})")
     state = replicate(mesh, state)
     dstep = jit_data_parallel(train_step, mesh)
+    # K>1: scan K optimizer steps per dispatch on device (numerics are
+    # bit-identical to K single dispatches — test-pinned)
+    k_dispatch = max(1, cfg.TRAIN.steps_per_dispatch)
+    dmulti = (jit_data_parallel(make_multi_step(train_step), mesh,
+                                batch_spec=superbatch_sharding(mesh))
+              if k_dispatch > 1 else None)
 
     # preemption safety: TPU pods deliver SIGTERM with a grace period —
     # finish the in-flight step, write a resumable checkpoint, exit.
@@ -137,14 +148,36 @@ def main(argv=None):
         # against every step, and stacking N per-step scalars at epoch
         # end would compile an N-operand concat per distinct epoch length
         loss_sum, steps, t0 = jnp.asarray(0.0, jnp.float32), 0, time.time()
-        for batch in sess.pipeline:
-            batch = shard_batch(mesh, batch)
-            if sess.is_gator:
-                state, m = dstep(state, batch, rng, edge_on)
+        extra = (rng, edge_on) if sess.is_gator else (rng,)
+        pending: list = []
+        last_print = 0
+
+        def run_pending(st):
+            """One dispatch over the buffered batches: a K-step scan when
+            several are buffered, the plain step otherwise (the epoch tail
+            may leave fewer than k_dispatch)."""
+            n = len(pending)
+            if n == 1 or dmulti is None:
+                st, m = dstep(st, shard_batch(mesh, pending[0]), *extra)
             else:
-                state, m = dstep(state, batch, rng)
-            loss_sum = loss_sum + m["loss"]
-            steps += 1
+                st, m = dmulti(st, stack_batches(mesh, pending), *extra)
+            pending.clear()
+            return st, m, n
+
+        batch_iter = iter(sess.pipeline)
+        while True:
+            batch = next(batch_iter, None)
+            if batch is not None:
+                pending.append(batch)
+                if len(pending) < k_dispatch:
+                    continue
+            elif not pending:
+                break
+            state, m, n = run_pending(state)
+            # m["loss"] is the mean over the n scanned steps — weight it
+            # back so epoch_loss stays the exact per-step mean
+            loss_sum = loss_sum + m["loss"] * n
+            steps += n
             if preempted["flag"]:
                 # resume restarts this epoch (per-epoch checkpoint
                 # granularity, like the reference's resume path)
@@ -161,7 +194,8 @@ def main(argv=None):
             if wandb_run is not None:
                 wandb_run.log({f"train_loss/{k}": float(v)
                                for k, v in m.items()})
-            if steps % cfg.TRAIN.print_freq == 0:
+            if steps - last_print >= cfg.TRAIN.print_freq:
+                last_print = steps
                 per = {k: float(v) for k, v in m.items()}
                 msg = " ".join(f"{k}: {v:.4f}" for k, v in per.items())
                 print(f"epoch {epoch} [{steps}/{len(sess.pipeline)}] {msg}")

@@ -61,6 +61,11 @@ class TrainConfig:
     # the training Pallas kernels ("auto" = on for TPU backends)
     precision: str = "float32"
     fused_kernels: str = "auto"      # "auto" | "on" | "off"
+    # run K optimizer steps per dispatch (lax.scan over a [K, B, ...]
+    # super-batch): amortizes host dispatch overhead K-fold; numerics are
+    # bit-identical to K single dispatches. Checkpoint/preemption/log
+    # granularity coarsens to K steps.
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,6 +35,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def superbatch_sharding(mesh: Mesh,
+                        axis_name: str = DATA_AXIS) -> NamedSharding:
+    """[K, B, ...] stacked-step batches: step axis replicated, batch dim
+    (axis 1) sharded over dp — the layout `train.loop.make_multi_step`
+    scans over."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
+def stack_batches(mesh: Mesh, batches: Sequence[Any]) -> Any:
+    """Stack K per-step batch dicts into one [K, B, ...] super-batch,
+    sharded per `superbatch_sharding`. Host (numpy) leaves stack on host;
+    device leaves (e.g. the GT mesh straight from on-device synthesis)
+    stack on device — neither side round-trips."""
+    sh = superbatch_sharding(mesh)
+    import jax.numpy as jnp
+
+    def stack(*xs):
+        if any(isinstance(x, jax.Array) for x in xs):
+            return jax.device_put(jnp.stack([jnp.asarray(x) for x in xs]),
+                                  sh)
+        return jax.device_put(np.stack(xs), sh)
+
+    return jax.tree_util.tree_map(stack, *batches)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place every array in a (possibly nested) batch with its leading dim
     sharded across the mesh."""
@@ -44,6 +69,12 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """device_put every leaf replicated over the mesh. NOTE: device_put
+    may alias (not copy) buffers whose shard on a device already matches —
+    if the replicated tree is then passed to a donating jitted step, the
+    donation can delete the ORIGINAL tree's buffers too. Don't reuse the
+    input tree after feeding the replicated copy to a donating step; deep
+    copy first (tree_map(jnp.array, ...)) if you must."""
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 

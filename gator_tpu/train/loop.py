@@ -244,13 +244,43 @@ def make_gat_eval_step(spec: GatSpec, eval_joints,
     return step
 
 
+def make_multi_step(step_fn: Callable) -> Callable:
+    """Wrap a per-batch train step into a K-step on-device loop.
+
+    `multi(state, superbatch, *extra)` scans `step_fn` over the leading
+    (step) axis of a [K, B, ...] super-batch (`parallel.stack_batches`)
+    and returns (state after K steps, per-key metrics averaged over the K
+    steps). One dispatch then covers K optimizer steps — the host-side
+    per-step costs (jit dispatch, transfer setup, and on high-latency
+    hosts the device round-trip) amortize K-fold. Per-step dropout keys
+    stay exact: each inner step folds the epoch rng with `state.step`,
+    which advances inside the scan, so K scanned steps use bit-identical
+    keys to K separate dispatches (the reference's loop granularity,
+    lib/core/base.py:122-183, is reproduced exactly — equivalence is
+    test-pinned).
+    """
+    def multi(state: TrainState, superbatch, *extra):
+        def body(st, b):
+            st, m = step_fn(st, b, *extra)
+            return st, m
+        state, ms = jax.lax.scan(body, state, superbatch)
+        return state, jax.tree_util.tree_map(
+            lambda x: jnp.mean(x, axis=0), ms)
+
+    return multi
+
+
 def jit_data_parallel(step_fn: Callable, mesh,
                       donate_state: bool = True,
-                      n_array_args: int = 1) -> Callable:
+                      n_array_args: int = 1,
+                      batch_spec=None) -> Callable:
     """jit a step over a dp mesh: state (arg 0) replicated, the next
-    n_array_args args batch-sharded, everything after replicated."""
+    n_array_args args batch-sharded (or `batch_spec`-sharded — pass
+    `parallel.superbatch_sharding(mesh)` for a multi-step [K, B, ...]
+    batch), everything after replicated."""
     rep = pmesh.replicated(mesh)
-    bsh = pmesh.batch_sharding(mesh)
+    bsh = batch_spec if batch_spec is not None \
+        else pmesh.batch_sharding(mesh)
 
     def specs_for(args):
         out = [rep]

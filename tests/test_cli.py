@@ -127,3 +127,28 @@ def test_train_sigterm_checkpoints_and_resumes(tmp_path, cfg_path,
     err = train_cli.main(["--cfg", cfg_path, "--synthetic", "--epochs",
                           "1", "--exp_dir", exp, "--resume_training"])
     assert np.isfinite(err)
+
+
+@pytest.mark.slow
+def test_train_cli_steps_per_dispatch(tmp_path, cfg_path):
+    """TRAIN.steps_per_dispatch > 1 routes the epoch through the K-step
+    scan dispatch (plus the single-step tail when the epoch length is not
+    a multiple of K: 16 steps = 5 scans of 3 + 1). Math equivalence to
+    per-step dispatch is unit-tested in test_training; this covers the
+    CLI wiring (config knob, batch stacking, remainder, epoch loss
+    weighting)."""
+    import yaml
+
+    from gator_tpu.cli.train import main as train_main
+
+    with open(cfg_path) as f:
+        raw = yaml.safe_load(f)
+    raw["TRAIN"]["steps_per_dispatch"] = 3
+    k_cfg = tmp_path / "smoke_k3.yml"
+    k_cfg.write_text(yaml.safe_dump(raw))
+
+    exp = str(tmp_path / "exp")
+    err = train_main(["--cfg", str(k_cfg), "--synthetic", "--epochs", "1",
+                      "--exp_dir", exp])
+    assert np.isfinite(err)
+    assert os.path.isdir(os.path.join(exp, "checkpoint", "best"))

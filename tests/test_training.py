@@ -176,3 +176,73 @@ def test_pick_checkpoint_prefers_newer_numbered_over_final(
     shutil.rmtree(str(tmp_path / "ckpt" / "checkpoint14"))
     save_checkpoint(ckpt_dir, state, epoch=7)
     assert pick_checkpoint(ckpt_dir).endswith("final")
+
+
+def test_multi_step_scan_matches_sequential(small_assets, gator_setup, rng):
+    """K scanned steps (one dispatch) must reproduce K separate dispatches
+    exactly: same param trajectory, same dropout keys (the inner fold_in
+    uses state.step, which advances inside the scan), metrics = per-step
+    mean."""
+    from gator_tpu.train import make_multi_step
+
+    spec, tx, state, step = gator_setup
+    batches = [_synthetic_batch(small_assets, rng, b=8) for _ in range(3)]
+    key = jax.random.PRNGKey(3)
+    edge = jnp.asarray(1.0)
+
+    s_seq, ms = state, []
+    jstep = jax.jit(step)
+    for b in batches:
+        s_seq, m = jstep(s_seq, b, key, edge)
+        ms.append(m)
+
+    superbatch = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *batches)
+    s_scan, mm = jax.jit(make_multi_step(step))(state, superbatch, key,
+                                                edge)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    assert int(s_scan.step) == int(s_seq.step)
+    want = np.mean([float(m["loss"]) for m in ms])
+    np.testing.assert_allclose(float(mm["loss"]), want, rtol=1e-5)
+
+
+def test_multi_step_data_parallel_matches_per_step_dispatch(
+        small_assets, gator_setup, rng):
+    """On the 8-device dp mesh, the [K, B, ...] super-batch dispatch
+    (stack_batches + superbatch sharding) matches K per-step dispatches on
+    the same mesh."""
+    from gator_tpu.parallel import stack_batches, superbatch_sharding
+    from gator_tpu.train import make_multi_step
+
+    spec, tx, state, step = gator_setup
+    assert jax.device_count() >= 8
+    mesh = make_mesh()
+    batches = [_synthetic_batch(small_assets, rng, b=16) for _ in range(2)]
+    key = jax.random.PRNGKey(5)
+    edge = jnp.asarray(0.0)
+
+    # device_put can alias buffers (the scalar step) rather than copy, and
+    # dstep donates its state arg — replicate a deep copy per branch so the
+    # first branch's donation can't delete the shared fixture state
+    def fresh():
+        return jax.tree_util.tree_map(jnp.array, state)
+
+    s_seq = replicate(mesh, fresh())
+    dstep = jit_data_parallel(step, mesh)
+    for b in batches:
+        s_seq, _ = dstep(s_seq, shard_batch(mesh, b), key, edge)
+
+    s_multi = replicate(mesh, fresh())
+    dmulti = jit_data_parallel(make_multi_step(step), mesh,
+                               batch_spec=superbatch_sharding(mesh))
+    s_multi, mm = dmulti(s_multi, stack_batches(mesh, batches), key, edge)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_seq.params),
+                    jax.tree_util.tree_leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    assert np.isfinite(float(mm["loss"]))
