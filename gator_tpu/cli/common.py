@@ -119,11 +119,20 @@ class Session:
 
         batch_size = (cfg.TRAIN.batch_size if is_train
                       else cfg.TEST.batch_size)
+        self.gt_in_step = (is_train and self.is_gator
+                           and cfg.TRAIN.gt_in_step == "on")
+        if self.gt_in_step:
+            bad = [type(d).__name__ for d in self.datasets
+                   if not getattr(d, "supports_raw_batches", False)]
+            if cfg.DATASET.input_joint_set == "coco" or bad:
+                raise ValueError(
+                    "TRAIN.gt_in_step=on needs non-COCO input and "
+                    f"shared-path datasets (unsupported: {bad})")
         self.pipeline = BatchPipeline(
             self.datasets, self.synth, batch_size,
             shuffle=cfg.TRAIN.shuffle if is_train else cfg.TEST.shuffle,
             seed=cfg.seed, stage="gator" if self.is_gator else "gat",
-            drop_last=is_train)
+            drop_last=is_train, raw=self.gt_in_step)
 
         self.target_regressor = (
             self.assets.j_regressor_h36m
@@ -180,6 +189,11 @@ class Session:
                     edge=cfg.MODEL.edge_loss_weight,
                     joint=cfg.MODEL.joint_loss_weight), tx,
                 dtype=train_dtype, fused=fused)
+            if getattr(self, "gt_in_step", False):
+                from ..train.loop import with_gt_synthesis
+                train_step = with_gt_synthesis(
+                    train_step, self.synth,
+                    self.datasets[0].opts.fitting_thr)
             eval_step = make_gator_eval_step(
                 self.spec, self.target_regressor,
                 self.assets.joint_set.eval_joints

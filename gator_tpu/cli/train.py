@@ -114,6 +114,19 @@ def main(argv=None):
     # K>1: scan K optimizer steps per dispatch on device (numerics are
     # bit-identical to K single dispatches — test-pinned)
     k_dispatch = max(1, cfg.TRAIN.steps_per_dispatch)
+    # shard/stack/transfer batches inside the prefetch worker so
+    # host->device copies overlap the step dispatches (through a TPU
+    # relay they cost ~ms per MB and otherwise sit on the critical path).
+    # With K>1 the worker also groups K host batches and stacks them into
+    # one [K, B, ...] super-batch; the epoch tail may yield a single
+    # leftover batch.
+    if k_dispatch == 1:
+        sess.pipeline.transfer = lambda b: shard_batch(mesh, b)
+    else:
+        sess.pipeline.chunk = k_dispatch
+        sess.pipeline.transfer = lambda bs: (
+            (stack_batches(mesh, bs), len(bs)) if len(bs) > 1
+            else (shard_batch(mesh, bs[0]), 1))
     dmulti = (jit_data_parallel(make_multi_step(train_step), mesh,
                                 batch_spec=superbatch_sharding(mesh))
               if k_dispatch > 1 else None)
@@ -149,31 +162,17 @@ def main(argv=None):
         # end would compile an N-operand concat per distinct epoch length
         loss_sum, steps, t0 = jnp.asarray(0.0, jnp.float32), 0, time.time()
         extra = (rng, edge_on) if sess.is_gator else (rng,)
-        pending: list = []
         last_print = 0
-
-        def run_pending(st):
-            """One dispatch over the buffered batches: a K-step scan when
-            several are buffered, the plain step otherwise (the epoch tail
-            may leave fewer than k_dispatch)."""
-            n = len(pending)
-            if n == 1 or dmulti is None:
-                st, m = dstep(st, shard_batch(mesh, pending[0]), *extra)
+        for item in sess.pipeline:
+            if k_dispatch > 1:
+                # pipeline yields pre-stacked (super-batch, n) items;
+                # the epoch tail may be a single batch
+                payload, n = item
+                run = dmulti if n > 1 else dstep
+                state, m = run(state, payload, *extra)
             else:
-                st, m = dmulti(st, stack_batches(mesh, pending), *extra)
-            pending.clear()
-            return st, m, n
-
-        batch_iter = iter(sess.pipeline)
-        while True:
-            batch = next(batch_iter, None)
-            if batch is not None:
-                pending.append(batch)
-                if len(pending) < k_dispatch:
-                    continue
-            elif not pending:
-                break
-            state, m, n = run_pending(state)
+                state, m = dstep(state, shard_batch(mesh, item), *extra)
+                n = 1
             # m["loss"] is the mean over the n scanned steps — weight it
             # back so epoch_loss stays the exact per-step mean
             loss_sum = loss_sum + m["loss"] * n

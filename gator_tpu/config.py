@@ -66,6 +66,11 @@ class TrainConfig:
     # bit-identical to K single dispatches. Checkpoint/preemption/log
     # granularity coarsens to K steps.
     steps_per_dispatch: int = 1
+    # "on": synthesize the GT mesh INSIDE the jitted train step from raw
+    # SMPL/camera params (same math to ~1 ulp; batches shrink from
+    # [B, 6890, 3] meshes to ~100 floats/sample). Requires non-COCO input
+    # and datasets on the shared make_batch path (H36M / Synthetic).
+    gt_in_step: str = "off"          # "on" | "off"
 
 
 @dataclasses.dataclass(frozen=True)

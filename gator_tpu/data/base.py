@@ -74,8 +74,21 @@ class SmplPoseDataset:
         t = self.table
         idx = np.asarray(indices)
         # device GT synthesis, grouped by gender; the [B, V, 3] mesh stays
-        # ON DEVICE (root-relativized there) — only the small per-joint
-        # arrays come back to host
+        # ON DEVICE (root-relativized there). The COCO-input path pulls
+        # the small per-joint arrays to host (the 2D input is derived from
+        # the fitted mesh and needs host-side noise/crop); the non-COCO
+        # path is fully SYNC-FREE: fitting_error only gates losses, so it
+        # stays on device as a [B, 1, 1] mask — a blocking fetch here
+        # serializes the prefetch thread against the train step (measured
+        # 135 -> ~60 ms/step end to end through the TPU relay)
+        want_coco = self.opts.input_joint_name == "coco"
+        if not want_coco and stage == "gat":
+            # non-COCO GAT batches carry no mesh and no fit gate — the
+            # SMPL synthesis would be computed and discarded (the
+            # reference pays it per sample anyway: dataset.py:345,409-419)
+            return self._assemble(
+                idx, np.zeros((len(idx), 0, 3), np.float32), None, None,
+                None, rng, stage)
         groups = []
         coco_cam = np.empty((len(idx), 19, 3), np.float32)
         coco_img = np.empty((len(idx), 19, 3), np.float32)
@@ -85,35 +98,101 @@ class SmplPoseDataset:
             if len(sel) == 0:
                 continue
             sub = idx[sel]
-            want_coco = self.opts.input_joint_name == "coco"
             out = synth.synthesize(
                 t.pose[sub], t.shape[sub], t.trans[sub], t.cam_r[sub],
                 t.cam_t[sub], t.focal[sub], t.princpt[sub],
                 joint_cam_h36m=(t.joint_cam_h36m[sub]
                                 - t.joint_cam_h36m[sub][:, :1]),
-                gender=g_name, want_coco=want_coco)
-            groups.append((sel, synth.mesh_rel_m(
-                out["mesh_mm"], t.joint_cam_h36m[sub][:, :1])))
+                gender=g_name, want_coco=want_coco,
+                host_fetch=want_coco)
+            mesh_part = synth.mesh_rel_m(out["mesh_mm"],
+                                         t.joint_cam_h36m[sub][:, :1])
             if want_coco:
+                groups.append((sel, mesh_part, None))
                 coco_cam[sel] = out["joint_cam_coco"]
                 coco_img[sel] = out["joint_img_coco"]
-            fit_err[sel] = out.get(
-                "fitting_error", np.zeros(len(sel), np.float32))
+                fit_err[sel] = out.get(
+                    "fitting_error", np.zeros(len(sel), np.float32))
+            else:
+                groups.append((sel, mesh_part, synth.fit_valid_mask(
+                    out["fitting_error"], self.opts.fitting_thr)))
 
         if len(groups) == 1:
             mesh_rel_m = groups[0][1]
+            valid_dev = groups[0][2]
         else:
             import jax.numpy as jnp
             mesh_rel_m = jnp.zeros(
                 (len(idx), self.assets.vertex_num, 3), jnp.float32)
-            for sel, part in groups:
+            valid_dev = (None if want_coco else
+                         jnp.zeros((len(idx), 1, 1), jnp.float32))
+            for sel, part, mask in groups:
                 mesh_rel_m = mesh_rel_m.at[sel].set(part)
+                if mask is not None:
+                    valid_dev = valid_dev.at[sel].set(mask)
 
         return self._assemble(idx, mesh_rel_m, coco_cam, coco_img,
-                              fit_err, rng, stage)
+                              None if not want_coco else fit_err, rng,
+                              stage, mesh_valid_dev=valid_dev)
+
+    @property
+    def supports_raw_batches(self) -> bool:
+        """True when this dataset uses the shared make_batch path, so a
+        raw (pre-synthesis) batch can feed in-step GT synthesis. Datasets
+        with bespoke make_batch flows (COCO/MuCo/AMASS/PW3D) return
+        False automatically."""
+        return type(self).make_batch is SmplPoseDataset.make_batch
+
+    def make_raw_batch(self, indices: np.ndarray,
+                       rng: np.random.Generator,
+                       stage: str = "gator") -> Dict[str, np.ndarray]:
+        """Host-only batch for IN-STEP GT synthesis
+        (`train.loop.with_gt_synthesis`): instead of a [B, V, 3] mesh the
+        batch carries the raw SMPL/camera parameters (~100 floats per
+        sample), and the jitted train step synthesizes the mesh target +
+        fit-validity mask on device. Input/target assembly (crop, noise,
+        flip/rot augmentation) consumes the SAME rng draws as make_batch,
+        so the two paths match exactly on the host side and to ~1 ulp of
+        XLA fusion reordering on the synthesized mesh (test-pinned).
+        Requires the non-COCO input path (COCO derives its
+        2D input from the fitted mesh, which needs host access) and
+        neutral-gender rows (one SMPL parameter set per program)."""
+        t = self.table
+        idx = np.asarray(indices)
+        if self.opts.input_joint_name == "coco":
+            raise ValueError("make_raw_batch: COCO-input batches derive "
+                             "their 2D input from the fitted mesh and "
+                             "cannot defer synthesis")
+        if stage != "gator":
+            # GAT batches need no mesh at all — the normal path already
+            # skips synthesis
+            return self.make_batch(idx, None, rng, stage=stage)
+        if (t.gender[idx] != 0).any():       # GENDERS[0] == "neutral"
+            raise ValueError("make_raw_batch requires neutral-gender rows")
+        batch = self._assemble(
+            idx, np.zeros((len(idx), 0, 3), np.float32), None, None,
+            None, rng, stage)
+        # synthesized / reconstituted in-step (per-call transfer latency
+        # dominates host->device copies, so every dropped leaf counts):
+        # mesh + mesh_valid come from the in-step synthesis; lift/reg
+        # masks are constant ones on this path (bad_zero_gator=("mesh",));
+        # the fit-gate target equals reg_pose3d (both are the
+        # root-relative h36m joints, un-augmented)
+        del batch["mesh"], batch["mesh_valid"]
+        del batch["lift_valid"], batch["reg_valid"]
+        root = t.joint_cam_h36m[idx][:, :1]
+        batch.update({
+            "smpl_pose": t.pose[idx].astype(np.float32),
+            "smpl_shape": t.shape[idx].astype(np.float32),
+            "smpl_trans": t.trans[idx].astype(np.float32),
+            "cam_r": t.cam_r[idx].astype(np.float32),
+            "cam_t": t.cam_t[idx].astype(np.float32),
+            "mesh_root_mm": root.astype(np.float32),
+        })
+        return batch
 
     def _assemble(self, idx, mesh_rel_m, coco_cam, coco_img, fit_err, rng,
-                  stage) -> Dict[str, np.ndarray]:
+                  stage, mesh_valid_dev=None) -> Dict[str, np.ndarray]:
         t = self.table
         opts = self.opts
         # vectorized root-relativization (reference: dataset.py:352-356)
@@ -133,7 +212,7 @@ class SmplPoseDataset:
                            if self.detected_pose is not None else None),
             h36m_stats=self._h36m_stats,
             bad_zero_gator=("mesh", "lift") if is_coco else ("mesh",),
-            bad_zero_gat=is_coco)
+            bad_zero_gat=is_coco, mesh_valid_dev=mesh_valid_dev)
 
 
 def assemble_batch(
@@ -152,6 +231,10 @@ def assemble_batch(
     h36m_stats: Optional[np.ndarray] = None,
     bad_zero_gator=("mesh",),    # masks zeroed on a bad fit (gator stage)
     bad_zero_gat: bool = False,  # zero joint_valid on a bad fit (gat stage)
+    mesh_valid_dev=None,         # [B, 1, 1] DEVICE fit mask replacing the
+                                 # host fit_err path (sync-free pipeline);
+                                 # only valid when the mesh is the sole
+                                 # fit-gated target
 ) -> Dict[str, np.ndarray]:
     """Vectorized batch assembly shared by every dataset (the reference
     runs all of this per sample in DataLoader workers —
@@ -208,12 +291,19 @@ def assemble_batch(
             out = np.where(flips[:, None, None].astype(bool), fl, out)
         return out.astype(np.float32)
 
+    if mesh_valid_dev is not None:
+        # sync-free path: the device mask carries the fit gate; nothing
+        # else may depend on the (never-fetched) fit error
+        assert fit_err is None and tuple(bad_zero_gator) == ("mesh",) \
+            and not bad_zero_gat, \
+            "mesh_valid_dev only supports mesh-only fit gating"
     bad = (fit_err > opts.fitting_thr if fit_err is not None
            else np.zeros(b, bool))
     if stage == "gator":
         # per-SAMPLE validity masks are [B, 1, 1] and broadcast inside the
         # loss — materializing [B, V, 1] (56 MB at B=2048) bought nothing
-        good = (~bad).astype(np.float32)[:, None, None]
+        good = (mesh_valid_dev if mesh_valid_dev is not None
+                else (~bad).astype(np.float32)[:, None, None])
         ones = np.ones((b, 1, 1), np.float32)
         return {
             "pose2d": pose2d,

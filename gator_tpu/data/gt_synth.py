@@ -179,17 +179,31 @@ class GtSynthesizer:
             + gt.mean(axis=1, keepdims=True)
         return jnp.sqrt(((gt - reg) ** 2).sum(-1)).mean(-1)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def fit_valid_mask(self, fitting_error, thr: float):
+        """[B, 1, 1] f32 per-sample mask: 1 where the fitted mesh is
+        within `thr` mm of the dataset GT joints (reference gates losses
+        the same way host-side: Human36M/dataset.py:396-401). Computed on
+        device so the training batch path needs NO host sync."""
+        return (fitting_error <= thr).astype(jnp.float32)[:, None, None]
+
     def synthesize(self, pose: np.ndarray, shape: np.ndarray,
                    trans: np.ndarray, cam_r: np.ndarray, cam_t: np.ndarray,
                    focal: np.ndarray, princpt: np.ndarray,
                    joint_cam_h36m: Optional[np.ndarray] = None,
                    gender: str = "neutral",
-                   want_coco: bool = True) -> Dict[str, np.ndarray]:
+                   want_coco: bool = True,
+                   host_fetch: bool = True) -> Dict[str, np.ndarray]:
         """Full GT bundle for a batch (host numpy in/out).
 
         want_coco=False skips the COCO joint regression + its host
         fetches — human36-input training never reads them, and each
-        blocking fetch costs a full relay round-trip."""
+        blocking fetch costs a full relay round-trip. host_fetch=False
+        skips the device sync entirely and returns DEVICE arrays: the
+        non-COCO training path consumes fitting_error only as a device
+        mask (fit_valid_mask), so its batches can assemble with zero
+        blocking round-trips — the sync otherwise serializes the prefetch
+        thread against the train step through the relay."""
         mesh_mm, smpl_joints_mm = self.smpl_mesh_cam(
             pose, shape, trans, cam_r, cam_t, gender)
         small = {"smpl_joints_mm": smpl_joints_mm}
@@ -203,6 +217,6 @@ class GtSynthesizer:
                                                         mesh_mm)
         # ONE device sync for every small array; the [B, V, 3] mesh stays
         # a DEVICE array (the training path never pulls it to host)
-        out = jax.device_get(small)
+        out = jax.device_get(small) if host_fetch else small
         out["mesh_mm"] = mesh_mm
         return out

@@ -32,8 +32,11 @@ class BatchPipeline:
                  synthesizer: GtSynthesizer, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  stage: str = "gator", drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, raw: bool = False):
         self.datasets = list(datasets)
+        # raw=True: yield pre-synthesis batches (make_raw_batch) carrying
+        # SMPL/camera params instead of meshes, for in-step GT synthesis
+        self.raw = raw
         self.synth = synthesizer
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -42,6 +45,16 @@ class BatchPipeline:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._epoch = 0
+        # optional hook applied INSIDE the prefetch worker (e.g.
+        # parallel.shard_batch): host->device transfers then overlap the
+        # consumer's step dispatches instead of sitting on its critical
+        # path (a few ms per MB through a TPU relay). With chunk == 1 it
+        # receives one batch dict; with chunk > 1 a LIST of up to `chunk`
+        # batch dicts (e.g. to stack into a multi-step super-batch).
+        self.transfer = None
+        # group this many consecutive batches into one yielded item
+        # (requires a `transfer` hook to combine them)
+        self.chunk = 1
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -70,6 +83,25 @@ class BatchPipeline:
                 for i in range(nb)]
 
     def _make(self, pairs: np.ndarray, rng) -> Dict[str, np.ndarray]:
+        out = self._make_host(pairs, rng)
+        return self.transfer(out) if self.transfer is not None else out
+
+    def _items(self, plan, rng) -> Iterator:
+        """Yield the epoch's work items: per-batch dicts (chunk == 1) or
+        transfer()-combined groups of up to `chunk` batches."""
+        if self.chunk <= 1:
+            for pairs in plan:
+                yield self._make(pairs, rng)
+            return
+        if self.transfer is None:
+            raise ValueError("BatchPipeline.chunk > 1 needs a transfer "
+                             "hook to combine the grouped batches")
+        for i in range(0, len(plan), self.chunk):
+            group = [self._make_host(p, rng)
+                     for p in plan[i:i + self.chunk]]
+            yield self.transfer(group)
+
+    def _make_host(self, pairs: np.ndarray, rng) -> Dict[str, np.ndarray]:
         parts = []
         order = np.empty(len(pairs), np.int64)
         pos = 0
@@ -77,8 +109,11 @@ class BatchPipeline:
             sel = np.nonzero(pairs[:, 0] == d_id)[0]
             if len(sel) == 0:
                 continue
-            part = self.datasets[d_id].make_batch(
-                pairs[sel, 1], self.synth, rng, stage=self.stage)
+            ds = self.datasets[d_id]
+            part = (ds.make_raw_batch(pairs[sel, 1], rng, stage=self.stage)
+                    if self.raw else
+                    ds.make_batch(pairs[sel, 1], self.synth, rng,
+                                  stage=self.stage))
             parts.append(part)
             order[sel] = np.arange(pos, pos + len(sel))
             pos += len(sel)
@@ -101,8 +136,7 @@ class BatchPipeline:
         rng = np.random.default_rng((self.seed, self._epoch))
         plan = self._plan(rng)
         if self.prefetch <= 0:
-            for pairs in plan:
-                yield self._make(pairs, rng)
+            yield from self._items(plan, rng)
             return
 
         # background-thread prefetch: overlaps host assembly of batch k+1
@@ -115,10 +149,10 @@ class BatchPipeline:
 
         def worker():
             try:
-                for pairs in plan:
+                for item in self._items(plan, rng):
                     if abort.is_set():
                         return
-                    q.put(self._make(pairs, rng))
+                    q.put(item)
                 q.put(stop)
             except BaseException as exc:   # noqa: BLE001 — relayed
                 q.put(exc)

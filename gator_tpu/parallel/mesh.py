@@ -55,17 +55,32 @@ def stack_batches(mesh: Mesh, batches: Sequence[Any]) -> Any:
         if any(isinstance(x, jax.Array) for x in xs):
             return jax.device_put(jnp.stack([jnp.asarray(x) for x in xs]),
                                   sh)
-        return jax.device_put(np.stack(xs), sh)
+        return np.stack(xs)
 
-    return jax.tree_util.tree_map(stack, *batches)
+    stacked = jax.tree_util.tree_map(stack, *batches)
+    # one batched device_put for every host leaf (per-call latency
+    # dominates small copies — see shard_batch)
+    leaves, treedef = jax.tree_util.tree_flatten(stacked)
+    host_idx = [i for i, x in enumerate(leaves)
+                if not isinstance(x, jax.Array)]
+    if host_idx:
+        moved = jax.device_put([leaves[i] for i in host_idx],
+                               [sh] * len(host_idx))
+        for i, v in zip(host_idx, moved):
+            leaves[i] = v
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place every array in a (possibly nested) batch with its leading dim
-    sharded across the mesh."""
+    sharded across the mesh. All leaves ride ONE batched device_put call —
+    per-call latency dominates small host->device copies (through a TPU
+    relay each call costs a full round-trip), so N separate puts cost N
+    round-trips."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), batch)
+    leaves, treedef = jax.tree_util.tree_flatten(batch)
+    out = jax.device_put(leaves, [sh] * len(leaves))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -244,6 +244,45 @@ def make_gat_eval_step(spec: GatSpec, eval_joints,
     return step
 
 
+_RAW_BATCH_KEYS = ("smpl_pose", "smpl_shape", "smpl_trans", "cam_r",
+                   "cam_t", "mesh_root_mm")
+
+
+def with_gt_synthesis(step_fn: Callable, synth, fitting_thr: float,
+                      gender: str = "neutral") -> Callable:
+    """Fuse GT mesh synthesis INTO the jitted train step.
+
+    Consumes raw batches (`SmplPoseDataset.make_raw_batch`): instead of a
+    [B, V, 3] mesh target, the batch carries raw SMPL/camera parameters,
+    and the step synthesizes the mesh + fit-validity mask on device as
+    part of the same XLA program. Same math as the pipeline-side
+    synthesis (GtSynthesizer.smpl_mesh_cam / fitting_error — reference:
+    Human36M/dataset.py:254-309), equal to ~1 ulp of XLA fusion
+    reordering (test-pinned); what changes is the system shape: batches
+    become ~100 host floats per
+    sample, no device array ever sits in the prefetch queue, and a
+    multi-step scan (make_multi_step) amortizes the per-dispatch overhead
+    over the synthesis too."""
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], *extra):
+        mesh_mm, _ = synth.smpl_mesh_cam(
+            batch["smpl_pose"], batch["smpl_shape"], batch["smpl_trans"],
+            batch["cam_r"], batch["cam_t"], gender)
+        inner = {k: v for k, v in batch.items()
+                 if k not in _RAW_BATCH_KEYS}
+        inner["mesh"] = ((mesh_mm - batch["mesh_root_mm"])
+                         / 1000.0).astype(jnp.float32)
+        # the fit-gate target IS reg_pose3d (root-relative h36m joints,
+        # un-augmented on this path — make_raw_batch drops the duplicate)
+        fit = synth.fitting_error(batch["reg_pose3d"], mesh_mm)
+        inner["mesh_valid"] = synth.fit_valid_mask(fit, fitting_thr)
+        ones = jnp.ones_like(inner["mesh_valid"])
+        inner["lift_valid"] = ones
+        inner["reg_valid"] = ones
+        return step_fn(state, inner, *extra)
+
+    return step
+
+
 def make_multi_step(step_fn: Callable) -> Callable:
     """Wrap a per-batch train step into a K-step on-device loop.
 

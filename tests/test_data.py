@@ -366,3 +366,80 @@ def test_pipeline_worker_exception_propagates(small_assets):
                          shuffle=False, prefetch=2)
     with pytest.raises(RuntimeError, match="assembly exploded"):
         list(pipe)
+
+
+def test_raw_batch_in_step_synthesis_matches_pipeline(small_assets):
+    """make_raw_batch + with_gt_synthesis must reproduce the normal
+    make_batch path: same rng stream for input/aug assembly, same
+    on-device SMPL/fit math (inlined into the step program, so XLA fusion
+    may reorder floats by ~1 ulp), so one train step from the same state
+    yields matching params to Adam noise scale."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gator_tpu import losses
+    from gator_tpu.data import processing
+    from gator_tpu.data.gt_synth import GtSynthesizer
+    from gator_tpu.data.synthetic import SyntheticDataset
+    from gator_tpu.models import GatorSpec, init_gator
+    from gator_tpu.train import TrainState, with_gt_synthesis
+    from gator_tpu.train.loop import make_gator_train_step
+
+    synth = GtSynthesizer(small_assets)
+    opts = processing.ProcessOptions(is_train=True)
+    ds = SyntheticDataset(small_assets, opts, n=32, seed=0,
+                          synthesizer=synth)
+    idx = np.arange(8)
+
+    normal = ds.make_batch(idx, synth, np.random.default_rng(3))
+    raw = ds.make_raw_batch(idx, np.random.default_rng(3))
+
+    # the host-assembled leaves must be bit-identical (same rng draws)
+    for k in ("pose2d", "lift_pose3d", "reg_pose3d"):
+        np.testing.assert_array_equal(np.asarray(normal[k]),
+                                      np.asarray(raw[k]))
+    assert "mesh" not in raw and "smpl_pose" in raw
+
+    spec = GatorSpec.from_assets(small_assets, embed_dim=64, depth=1)
+    tx = optax.adam(1e-3)
+    variables = init_gator(spec, jax.random.PRNGKey(0))
+    step = make_gator_train_step(
+        spec, small_assets.faces, small_assets.j_regressor_h36m,
+        losses.LossWeights(), tx)
+    raw_step = with_gt_synthesis(step, synth, opts.fitting_thr)
+    key, edge = jax.random.PRNGKey(9), jnp.asarray(1.0)
+
+    s1 = TrainState.create(variables, tx)
+    s1, m1 = jax.jit(step)(s1, normal, key, edge)
+    s2 = TrainState.create(variables, tx)
+    s2, m2 = jax.jit(raw_step)(s2, raw, key, edge)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    # the in-step mesh differs by ~1 ulp (XLA fuses the synthesis into
+    # the loss program), and Adam's first bias-corrected step maps ANY
+    # gradient perturbation to an up-to-lr update swing — same 2.5*lr
+    # bound as test_data_parallel_step_matches_single_device; real wiring
+    # bugs show at O(1e-1)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
+
+
+def test_gat_stage_batch_skips_synthesis_unchanged(small_assets):
+    """The non-COCO GAT batch must be identical with and without the
+    synthesis skip (it never contained a mesh)."""
+    from gator_tpu.data import processing
+    from gator_tpu.data.gt_synth import GtSynthesizer
+    from gator_tpu.data.synthetic import SyntheticDataset
+
+    synth = GtSynthesizer(small_assets)
+    opts = processing.ProcessOptions(is_train=True)
+    ds = SyntheticDataset(small_assets, opts, n=16, seed=0,
+                          synthesizer=synth)
+    b = ds.make_batch(np.arange(8), synth, np.random.default_rng(1),
+                      stage="gat")
+    assert set(b) == {"pose2d", "joint_cam", "joint_valid"}
+    assert b["joint_valid"].min() == 1.0
