@@ -11,6 +11,11 @@ Extra keys in the same JSON object:
                             BASELINE.json's "p50 pose→mesh latency" metric
   train_poses_per_sec     — full stage-2 GATOR train step (fwd+bwd+adam,
                             BatchNorm stats, all five loss terms) at B=512
+  train_e2e_poses_per_sec — sustained END-TO-END training rate through the
+                            real CLI data path (prefetch pipeline,
+                            device-side input assembly + GT synthesis,
+                            8-step scan dispatch; epoch 2 of the
+                            gator_synthetic_e2e recipe)
   host_batch_poses_per_sec — input-pipeline supply rate: BatchPipeline
                             batch assembly + on-the-fly GT mesh synthesis
                             (SMPL on the host CPU backend) at B=2048
@@ -186,6 +191,58 @@ def bench_train(spec, variables, faces, j_regressor):
     return fused_pps, f32_pps
 
 
+def bench_train_e2e():
+    """Sustained END-TO-END stage-2 training rate: the real CLI data path
+    (BatchPipeline + prefetch worker) feeding the fused train step, with
+    the production fast recipe (configs/gator_synthetic_e2e.yml:
+    gt_in_step=full device-side input pipeline + 8-step scan dispatch).
+    Epoch 1 compiles; epoch 2 is timed. Unlike train_poses_per_sec (the
+    step alone in an on-device loop), this includes input assembly,
+    host->device traffic, GT synthesis, and dispatch overhead."""
+    from gator_tpu.cli.common import Session
+    from gator_tpu.config import load_config
+    from gator_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                    stack_batches, superbatch_sharding)
+    from gator_tpu.train import (TrainState, jit_data_parallel,
+                                 make_multi_step)
+
+    cfg = load_config("configs/gator_synthetic_e2e.yml")
+    k = cfg.TRAIN.steps_per_dispatch
+    sess = Session(cfg, is_train=True, synthetic=True, synthetic_n=20480)
+    tx = sess.make_optimizer()
+    train_step, _ = sess.make_steps(tx)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = TrainState.create(sess.init_variables(), tx)
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    dstep = jit_data_parallel(train_step, mesh)
+    dmulti = jit_data_parallel(make_multi_step(train_step), mesh,
+                               batch_spec=superbatch_sharding(mesh))
+    sess.pipeline.chunk = k
+    sess.pipeline.transfer = lambda bs: (
+        (stack_batches(mesh, bs), len(bs)) if len(bs) > 1
+        else (shard_batch(mesh, bs[0]), 1))
+    rng = jax.random.PRNGKey(0)
+    edge = jnp.asarray(1.0)
+
+    def epoch(state, epoch_id):
+        sess.pipeline.set_epoch(epoch_id)
+        n_done, t0 = 0, time.perf_counter()
+        loss = jnp.asarray(0.0)
+        for payload, n in sess.pipeline:
+            state, m = (dmulti if n > 1 else dstep)(state, payload, rng,
+                                                    edge)
+            loss = loss + m["loss"] * n
+            n_done += n
+        float(loss)        # sync: epoch truly finished
+        return state, n_done * cfg.TRAIN.batch_size / (
+            time.perf_counter() - t0)
+
+    state, _ = epoch(state, 1)          # compile + warm
+    _, pps = epoch(state, 2)
+    return pps
+
+
 def bench_host_pipeline(assets):
     """Host-side batch-assembly rate: everything `make_batch` does on the
     host CPU (crop/normalize, augmentation draws, noise, masks, ordering)
@@ -241,6 +298,7 @@ def main():
     poses_per_sec, p50_ms, spread = bench_serving(spec, variables)
     train_pps, train_f32_pps = bench_train(spec, variables, assets.faces,
                                            assets.j_regressor_h36m)
+    train_e2e_pps = bench_train_e2e()
     host_pps = bench_host_pipeline(assets)
 
     print(json.dumps({
@@ -250,6 +308,7 @@ def main():
         "vs_baseline": round(poses_per_sec / 10000.0, 3),
         "p50_latency_ms": round(p50_ms, 3),
         "train_poses_per_sec": round(train_pps, 1),
+        "train_e2e_poses_per_sec": round(train_e2e_pps, 1),
         "train_f32_xla_poses_per_sec": round(train_f32_pps, 1),
         "host_batch_poses_per_sec": round(host_pps, 1),
         "spread": round(spread, 4),

@@ -119,20 +119,29 @@ class Session:
 
         batch_size = (cfg.TRAIN.batch_size if is_train
                       else cfg.TEST.batch_size)
-        self.gt_in_step = (is_train and self.is_gator
-                           and cfg.TRAIN.gt_in_step == "on")
-        if self.gt_in_step:
+        self.gt_in_step = (cfg.TRAIN.gt_in_step
+                           if (is_train and self.is_gator
+                               and cfg.TRAIN.gt_in_step != "off")
+                           else "off")
+        if self.gt_in_step != "off":
             bad = [type(d).__name__ for d in self.datasets
                    if not getattr(d, "supports_raw_batches", False)]
             if cfg.DATASET.input_joint_set == "coco" or bad:
                 raise ValueError(
-                    "TRAIN.gt_in_step=on needs non-COCO input and "
+                    "TRAIN.gt_in_step needs non-COCO input and "
                     f"shared-path datasets (unsupported: {bad})")
+        if self.gt_in_step == "full" and (
+                len(self.datasets) != 1 or not cfg.DATASET.use_gt_input):
+            raise ValueError("TRAIN.gt_in_step=full needs GT input and a "
+                             "single dataset (one device-resident table)")
+        mode = {"off": "full_batches", "on": "raw", "full": "index"}[
+            self.gt_in_step]
         self.pipeline = BatchPipeline(
             self.datasets, self.synth, batch_size,
             shuffle=cfg.TRAIN.shuffle if is_train else cfg.TEST.shuffle,
             seed=cfg.seed, stage="gator" if self.is_gator else "gat",
-            drop_last=is_train, raw=self.gt_in_step)
+            drop_last=is_train,
+            mode="full" if mode == "full_batches" else mode)
 
         self.target_regressor = (
             self.assets.j_regressor_h36m
@@ -189,11 +198,18 @@ class Session:
                     edge=cfg.MODEL.edge_loss_weight,
                     joint=cfg.MODEL.joint_loss_weight), tx,
                 dtype=train_dtype, fused=fused)
-            if getattr(self, "gt_in_step", False):
+            if getattr(self, "gt_in_step", "off") == "on":
                 from ..train.loop import with_gt_synthesis
                 train_step = with_gt_synthesis(
                     train_step, self.synth,
                     self.datasets[0].opts.fitting_thr)
+            elif getattr(self, "gt_in_step", "off") == "full":
+                from ..data.device_pipeline import \
+                    with_device_input_pipeline
+                ds = self.datasets[0]
+                train_step = with_device_input_pipeline(
+                    train_step, self.synth, ds.table, ds.joint_set,
+                    ds.opts, ds.opts.fitting_thr)
             eval_step = make_gator_eval_step(
                 self.spec, self.target_regressor,
                 self.assets.joint_set.eval_joints

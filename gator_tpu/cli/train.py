@@ -191,12 +191,16 @@ def main(argv=None):
                       f"--resume_training")
                 return best_joint_err
             if wandb_run is not None:
+                vals = jax.device_get(m)   # one sync for all metrics
                 wandb_run.log({f"train_loss/{k}": float(v)
-                               for k, v in m.items()})
+                               for k, v in vals.items()})
             if steps - last_print >= cfg.TRAIN.print_freq:
                 last_print = steps
-                per = {k: float(v) for k, v in m.items()}
-                msg = " ".join(f"{k}: {v:.4f}" for k, v in per.items())
+                # ONE device_get for the whole metrics dict: a float()
+                # per metric costs a full device round-trip each
+                per = jax.device_get(m)
+                msg = " ".join(f"{k}: {float(v):.4f}"
+                               for k, v in per.items())
                 print(f"epoch {epoch} [{steps}/{len(sess.pipeline)}] {msg}")
         epoch_loss = float(loss_sum) / steps if steps else 0.0
         loss_history.append(epoch_loss)

@@ -68,9 +68,13 @@ class TrainConfig:
     steps_per_dispatch: int = 1
     # "on": synthesize the GT mesh INSIDE the jitted train step from raw
     # SMPL/camera params (same math to ~1 ulp; batches shrink from
-    # [B, 6890, 3] meshes to ~100 floats/sample). Requires non-COCO input
+    # [B, 6890, 3] meshes to ~150 floats/sample). Requires non-COCO input
     # and datasets on the shared make_batch path (H36M / Synthetic).
-    gt_in_step: str = "off"          # "on" | "off"
+    # "full": additionally move the 2D-input assembly/augmentation on
+    # device — the annotation table lives in HBM and batches are
+    # (indices, flips, rots) only (~12 bytes/sample). Additionally
+    # requires GT input and a single dataset.
+    gt_in_step: str = "off"          # "full" | "on" | "off"
 
 
 @dataclasses.dataclass(frozen=True)

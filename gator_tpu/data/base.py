@@ -191,6 +191,27 @@ class SmplPoseDataset:
         })
         return batch
 
+    def make_index_batch(self, indices: np.ndarray,
+                         rng: np.random.Generator,
+                         stage: str = "gator") -> Dict[str, np.ndarray]:
+        """Index-only batch for the fully device-side input pipeline
+        (`data.device_pipeline.with_device_input_pipeline`): ships just
+        (row indices, flip flags, rotation angles) — the step gathers the
+        annotation rows from the device-resident table and does the rest
+        in-program. Augmentation params come from the same
+        `augm_params_batch` draws as the host path."""
+        from .augment import augm_params_batch
+
+        if stage != "gator":
+            return self.make_batch(indices, None, rng, stage=stage)
+        idx = np.asarray(indices)
+        flips, rots = augm_params_batch(
+            self.opts.is_train, self.opts.flip_enabled,
+            self.opts.rotate_factor, len(idx), rng)
+        return {"idx": idx.astype(np.int32),
+                "flips": flips.astype(np.float32),
+                "rots": rots.astype(np.float32)}
+
     def _assemble(self, idx, mesh_rel_m, coco_cam, coco_img, fit_err, rng,
                   stage, mesh_valid_dev=None) -> Dict[str, np.ndarray]:
         t = self.table

@@ -32,11 +32,16 @@ class BatchPipeline:
                  synthesizer: GtSynthesizer, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  stage: str = "gator", drop_last: bool = True,
-                 prefetch: int = 2, raw: bool = False):
+                 prefetch: int = 2, mode: str = "full"):
         self.datasets = list(datasets)
-        # raw=True: yield pre-synthesis batches (make_raw_batch) carrying
-        # SMPL/camera params instead of meshes, for in-step GT synthesis
-        self.raw = raw
+        # "full": ready batches (make_batch). "raw": pre-synthesis batches
+        # (make_raw_batch — SMPL/camera params instead of meshes, for
+        # in-step GT synthesis). "index": index-only batches
+        # (make_index_batch — the step gathers everything from the
+        # device-resident table).
+        if mode not in ("full", "raw", "index"):
+            raise ValueError(f"unknown BatchPipeline mode {mode!r}")
+        self.mode = mode
         self.synth = synthesizer
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -110,10 +115,15 @@ class BatchPipeline:
             if len(sel) == 0:
                 continue
             ds = self.datasets[d_id]
-            part = (ds.make_raw_batch(pairs[sel, 1], rng, stage=self.stage)
-                    if self.raw else
-                    ds.make_batch(pairs[sel, 1], self.synth, rng,
-                                  stage=self.stage))
+            if self.mode == "raw":
+                part = ds.make_raw_batch(pairs[sel, 1], rng,
+                                         stage=self.stage)
+            elif self.mode == "index":
+                part = ds.make_index_batch(pairs[sel, 1], rng,
+                                           stage=self.stage)
+            else:
+                part = ds.make_batch(pairs[sel, 1], self.synth, rng,
+                                     stage=self.stage)
             parts.append(part)
             order[sel] = np.arange(pos, pos + len(sel))
             pos += len(sel)

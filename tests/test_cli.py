@@ -133,9 +133,12 @@ def test_train_sigterm_checkpoints_and_resumes(tmp_path, cfg_path,
 def test_train_cli_steps_per_dispatch(tmp_path, cfg_path):
     """TRAIN.steps_per_dispatch > 1 routes the epoch through the K-step
     scan dispatch (plus the single-step tail when the epoch length is not
-    a multiple of K: 16 steps = 5 scans of 3 + 1). Math equivalence to
-    per-step dispatch is unit-tested in test_training; this covers the
-    CLI wiring (config knob, batch stacking, remainder, epoch loss
+    a multiple of K: 16 steps = 5 scans of 3 + 1), and
+    TRAIN.gt_in_step=full routes batches through the index-only
+    device-side input pipeline — including the sharded gather of the
+    device-resident table on the 8-device mesh. Math equivalence of both
+    is unit-tested (test_training / test_data); this covers the CLI
+    wiring (config knobs, worker-side stacking, remainder, epoch loss
     weighting)."""
     import yaml
 
@@ -144,6 +147,7 @@ def test_train_cli_steps_per_dispatch(tmp_path, cfg_path):
     with open(cfg_path) as f:
         raw = yaml.safe_load(f)
     raw["TRAIN"]["steps_per_dispatch"] = 3
+    raw["TRAIN"]["gt_in_step"] = "full"
     k_cfg = tmp_path / "smoke_k3.yml"
     k_cfg.write_text(yaml.safe_dump(raw))
 
