@@ -119,9 +119,13 @@ class Session:
 
         batch_size = (cfg.TRAIN.batch_size if is_train
                       else cfg.TEST.batch_size)
+        # "on" (in-step GT synthesis) only means something for the gator
+        # stage — gat batches carry no mesh, so it degrades to "off";
+        # "full" (device-side input pipeline) applies to both stages
         self.gt_in_step = (cfg.TRAIN.gt_in_step
-                           if (is_train and self.is_gator
-                               and cfg.TRAIN.gt_in_step != "off")
+                           if (is_train and cfg.TRAIN.gt_in_step != "off"
+                               and (self.is_gator
+                                    or cfg.TRAIN.gt_in_step == "full"))
                            else "off")
         if self.gt_in_step != "off":
             bad = [type(d).__name__ for d in self.datasets
@@ -219,6 +223,12 @@ class Session:
             train_step = make_gat_train_step(self.spec, tx,
                                              dtype=train_dtype,
                                              fused=fused)
+            if getattr(self, "gt_in_step", "off") == "full":
+                from ..data.device_pipeline import \
+                    with_device_input_pipeline_gat
+                ds = self.datasets[0]
+                train_step = with_device_input_pipeline_gat(
+                    train_step, ds.table, ds.joint_set, ds.opts)
             eval_step = make_gat_eval_step(
                 self.spec, self.assets.joint_set.eval_joints)
         return train_step, eval_step

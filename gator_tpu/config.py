@@ -73,7 +73,8 @@ class TrainConfig:
     # "full": additionally move the 2D-input assembly/augmentation on
     # device — the annotation table lives in HBM and batches are
     # (indices, flips, rots) only (~12 bytes/sample). Additionally
-    # requires GT input and a single dataset.
+    # requires GT input and a single dataset. Works for BOTH training
+    # stages ("on" is gator-only: gat batches carry no mesh).
     gt_in_step: str = "off"          # "full" | "on" | "off"
 
 

@@ -199,11 +199,11 @@ class SmplPoseDataset:
         (row indices, flip flags, rotation angles) — the step gathers the
         annotation rows from the device-resident table and does the rest
         in-program. Augmentation params come from the same
-        `augm_params_batch` draws as the host path."""
+        `augm_params_batch` draws as the host path. Stage-independent:
+        the gator and gat wrappers assemble their own targets from the
+        same (idx, flips, rots)."""
         from .augment import augm_params_batch
 
-        if stage != "gator":
-            return self.make_batch(indices, None, rng, stage=stage)
         idx = np.asarray(indices)
         flips, rots = augm_params_batch(
             self.opts.is_train, self.opts.flip_enabled,

@@ -93,33 +93,67 @@ def j3d_augment(s: jnp.ndarray, flip_perm: np.ndarray, flips: jnp.ndarray,
                      out).astype(jnp.float32)
 
 
-def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
-                               opts, fitting_thr: float) -> Callable:
-    """Wrap a stage-2 train step to run the WHOLE input pipeline on
-    device from index-only batches (`SmplPoseDataset.make_index_batch`).
-    The annotation table becomes jit constants (hoisted to HBM once,
-    replicated over the dp mesh by GSPMD)."""
+def _check_and_load_table(table, opts, need_smpl: bool):
     if not opts.use_gt_input:
         raise ValueError("device input pipeline: detector-noise input "
                          "draws host-side rng; needs use_gt_input")
     if opts.input_joint_name == "coco":
         raise ValueError("device input pipeline: the COCO 2D input "
                          "derives from the fitted mesh on host")
-    if (np.asarray(table.gender) != 0).any():
+    if need_smpl and (np.asarray(table.gender) != 0).any():
         raise ValueError("device input pipeline requires neutral-gender "
                          "rows (one SMPL parameter set per program)")
-    perm = _flip_perm(jset.joint_num, jset.flip_pairs)
-    input_shape = tuple(opts.input_shape)
     tbl = {
         "joint_img": jnp.asarray(
             np.asarray(table.joint_img_h36m)[..., :2], jnp.float32),
         "joint_cam": jnp.asarray(table.joint_cam_h36m, jnp.float32),
-        "pose": jnp.asarray(table.pose, jnp.float32),
-        "shape": jnp.asarray(table.shape, jnp.float32),
-        "trans": jnp.asarray(table.trans, jnp.float32),
-        "cam_r": jnp.asarray(table.cam_r, jnp.float32),
-        "cam_t": jnp.asarray(table.cam_t, jnp.float32),
     }
+    if need_smpl:
+        tbl.update({
+            "pose": jnp.asarray(table.pose, jnp.float32),
+            "shape": jnp.asarray(table.shape, jnp.float32),
+            "trans": jnp.asarray(table.trans, jnp.float32),
+            "cam_r": jnp.asarray(table.cam_r, jnp.float32),
+            "cam_t": jnp.asarray(table.cam_t, jnp.float32),
+        })
+    return tbl
+
+
+def with_device_input_pipeline_gat(step_fn: Callable, table, jset,
+                                   opts) -> Callable:
+    """Stage-1 (GAT lifter pretrain) version of
+    `with_device_input_pipeline`: no SMPL synthesis — the step assembles
+    {pose2d, joint_cam, joint_valid} from the device-resident table
+    (reference per-sample form: Human36M/dataset.py:409-419)."""
+    tbl = _check_and_load_table(table, opts, need_smpl=False)
+    perm = _flip_perm(jset.joint_num, jset.flip_pairs)
+    input_shape = tuple(opts.input_shape)
+
+    def step(state, batch: Dict[str, jnp.ndarray], *extra):
+        idx = batch["idx"]
+        flips, rots = batch["flips"], batch["rots"]
+        jc = tbl["joint_cam"][idx]
+        jh = jc - jc[:, :1]
+        inner = {
+            "pose2d": crop_normalize_gt(tbl["joint_img"][idx], perm,
+                                        input_shape, flips, rots),
+            "joint_cam": j3d_augment(jh, perm, flips, rots),
+            "joint_valid": jnp.ones((idx.shape[0], 1, 1), jnp.float32),
+        }
+        return step_fn(state, inner, *extra)
+
+    return step
+
+
+def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
+                               opts, fitting_thr: float) -> Callable:
+    """Wrap a stage-2 train step to run the WHOLE input pipeline on
+    device from index-only batches (`SmplPoseDataset.make_index_batch`).
+    The annotation table becomes jit constants (hoisted to HBM once,
+    replicated over the dp mesh by GSPMD)."""
+    tbl = _check_and_load_table(table, opts, need_smpl=True)
+    perm = _flip_perm(jset.joint_num, jset.flip_pairs)
+    input_shape = tuple(opts.input_shape)
 
     def step(state, batch: Dict[str, jnp.ndarray], *extra):
         idx = batch["idx"]

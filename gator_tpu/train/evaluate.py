@@ -48,7 +48,7 @@ def run_eval(
         jeval = jax.jit(eval_step)
         multiple = 1
 
-    sums: Dict[str, float] = {}
+    sums: Dict[str, Any] = {}
     count = 0
     dup = set(collect_out) & set(collect_batch)
     if dup:
@@ -64,8 +64,9 @@ def run_eval(
         out = jeval(state, padded)
         for k in ERROR_KEYS:
             if k in out:
-                vals = np.asarray(out[k])[:n]
-                sums[k] = sums.get(k, 0.0) + float(vals.sum())
+                # accumulate ON DEVICE: a host fetch per batch per key
+                # costs a full device round-trip and serializes eval
+                sums[k] = sums.get(k, 0.0) + out[k][:n].sum()
         for k in collect_out:
             gathered[k].append(np.asarray(out[k])[:n])
         for k in collect_batch:
@@ -74,7 +75,7 @@ def run_eval(
 
     result: Dict[str, Any] = {"count": count}
     for k, v in sums.items():
-        result[k] = v / max(count, 1)
+        result[k] = float(v) / max(count, 1)   # ONE sync per key, at end
     for k, chunks in gathered.items():
         if chunks:
             result[k] = np.concatenate(chunks)

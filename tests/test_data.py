@@ -515,3 +515,49 @@ def test_device_input_pipeline_matches_host(small_assets):
                     jax.tree_util.tree_leaves(s_dev.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2.5e-3)
+
+
+def test_device_input_pipeline_gat_matches_host(small_assets):
+    """Stage-1 version of the device pipeline: index batches + in-step
+    target assembly must reproduce the host gat batch (flip/rot aug on)
+    and one CoordLoss train step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gator_tpu.data import processing
+    from gator_tpu.data.device_pipeline import \
+        with_device_input_pipeline_gat
+    from gator_tpu.data.gt_synth import GtSynthesizer
+    from gator_tpu.data.synthetic import SyntheticDataset
+    from gator_tpu.models import GatSpec, init_gat
+    from gator_tpu.train import TrainState, make_gat_train_step
+
+    synth = GtSynthesizer(small_assets)
+    opts = processing.ProcessOptions(is_train=True, flip_enabled=True,
+                                     rotate_factor=30.0)
+    ds = SyntheticDataset(small_assets, opts, n=32, seed=0,
+                          synthesizer=synth)
+    idx = np.arange(12)
+    host = ds.make_batch(idx, synth, np.random.default_rng(7),
+                         stage="gat")
+    index = ds.make_index_batch(idx, np.random.default_rng(7),
+                                stage="gat")
+
+    spec = GatSpec.from_assets(small_assets, embed_dim=64, depth=1)
+    tx = optax.adam(1e-3)
+    variables = init_gat(spec, jax.random.PRNGKey(0))
+    step = make_gat_train_step(spec, tx)
+    dstep = with_device_input_pipeline_gat(step, ds.table, ds.joint_set,
+                                           opts)
+    key = jax.random.PRNGKey(5)
+    s_host, m_host = jax.jit(step)(TrainState.create(variables, tx),
+                                   host, key)
+    s_dev, m_dev = jax.jit(dstep)(TrainState.create(variables, tx),
+                                  index, key)
+    np.testing.assert_allclose(float(m_dev["loss"]),
+                               float(m_host["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_host.params),
+                    jax.tree_util.tree_leaves(s_dev.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
