@@ -24,17 +24,7 @@ from ..train import (TrainState, make_gat_eval_step, make_gat_train_step,
 from ..train.schedule import ReduceLROnPlateau
 
 
-def enable_compile_cache():
-    """Persistent XLA compilation cache for every CLI run (same policy as
-    bench.py): repeat invocations skip recompiles — on hosts that reach
-    the TPU through a relay those cost minutes each. Idempotent;
-    JAX_CACHE_DIR overrides the location."""
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:   # noqa: BLE001 — cache is an optimization only
-        pass
+from ._cache import enable_compile_cache  # noqa: E402  (re-export)
 
 
 def resolve_data_dirs(cfg: Config) -> List[str]:
@@ -119,6 +109,10 @@ class Session:
 
         batch_size = (cfg.TRAIN.batch_size if is_train
                       else cfg.TEST.batch_size)
+        if cfg.TRAIN.gt_in_step not in ("off", "on", "full"):
+            raise ValueError(
+                f"TRAIN.gt_in_step must be 'off', 'on', or 'full'; got "
+                f"{cfg.TRAIN.gt_in_step!r}")
         # "on" (in-step GT synthesis) only means something for the gator
         # stage — gat batches carry no mesh, so it degrades to "off";
         # "full" (device-side input pipeline) applies to both stages

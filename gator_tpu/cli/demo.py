@@ -136,7 +136,7 @@ def run_demo(pose_path: str, joint_set: str = "coco",
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
+    from ._cache import enable_compile_cache
     enable_compile_cache()
     args = parse_args(argv)
     return run_demo(args.input_pose, args.joint_set, args.weights,

@@ -26,7 +26,6 @@ from ..models import GatorSpec, init_gator
 from ..parallel import make_mesh, pad_to_multiple
 from ..serving import make_serving_fn, make_sharded_serving_fn
 from ..vis import save_obj
-from .test import load_weights
 
 
 def parse_args(argv=None):
@@ -65,6 +64,8 @@ def run_serve(pose_path: str, joint_set: str = "coco",
     spec = GatorSpec.from_assets(assets)
     variables = init_gator(spec, jax.random.PRNGKey(0))
     if weights:
+        from .test import load_weights   # lazy: pulls the
+        # training/convert stack only when weights are given
         variables = load_weights(weights, variables)
     else:
         print("WARNING: serving randomly initialized weights")
@@ -129,7 +130,7 @@ def run_serve(pose_path: str, joint_set: str = "coco",
 
 
 def main(argv=None):
-    from .common import enable_compile_cache
+    from ._cache import enable_compile_cache
     enable_compile_cache()
     a = parse_args(argv)
     return run_serve(a.input_poses, a.joint_set, a.weights, a.output,

@@ -171,7 +171,8 @@ def main(argv=None):
                 run = dmulti if n > 1 else dstep
                 state, m = run(state, payload, *extra)
             else:
-                state, m = dstep(state, shard_batch(mesh, item), *extra)
+                # already sharded by the worker-side transfer hook
+                state, m = dstep(state, item, *extra)
                 n = 1
             # m["loss"] is the mean over the n scanned steps — weight it
             # back so epoch_loss stays the exact per-step mean

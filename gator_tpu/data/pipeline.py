@@ -102,9 +102,16 @@ class BatchPipeline:
             raise ValueError("BatchPipeline.chunk > 1 needs a transfer "
                              "hook to combine the grouped batches")
         for i in range(0, len(plan), self.chunk):
-            group = [self._make_host(p, rng)
-                     for p in plan[i:i + self.chunk]]
-            yield self.transfer(group)
+            group = plan[i:i + self.chunk]
+            if len(group) < self.chunk:
+                # epoch tail: emit singles — a partial group would compile
+                # a SECOND multi-step program just for this one dispatch
+                # (remote compiles cost minutes on relay-attached hosts)
+                for p in group:
+                    yield self.transfer([self._make_host(p, rng)])
+            else:
+                yield self.transfer(
+                    [self._make_host(p, rng) for p in group])
 
     def _make_host(self, pairs: np.ndarray, rng) -> Dict[str, np.ndarray]:
         parts = []
