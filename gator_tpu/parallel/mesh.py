@@ -17,18 +17,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "dp"
+SLICE_AXIS = "dcn"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+              axis_name: str = DATA_AXIS,
+              n_slices: int = 1) -> Mesh:
+    """Data-parallel mesh over all (or the given) devices.
+
+    n_slices > 1 builds a 2-D ("dcn", "dp") mesh for multi-slice
+    deployments: the batch shards over BOTH axes (batch_sharding below
+    uses every mesh axis), and GSPMD emits the gradient all-reduce as a
+    per-slice reduce over ICI + a cross-slice reduce over DCN. On a
+    single slice the 1-D mesh is identical in behavior."""
     devices = list(devices) if devices is not None else jax.devices()
+    if n_slices > 1:
+        if len(devices) % n_slices:
+            raise ValueError(f"{len(devices)} devices do not split into "
+                             f"{n_slices} slices")
+        arr = np.asarray(devices).reshape(n_slices, -1)
+        return Mesh(arr, (SLICE_AXIS, axis_name))
     return Mesh(np.asarray(devices), (axis_name,))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Leading (batch) dim sharded over the dp axis."""
-    return NamedSharding(mesh, P(axis_name))
+    """Leading (batch) dim sharded over every mesh axis (pure data
+    parallelism on 1-D and multi-slice meshes alike)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -38,9 +53,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def superbatch_sharding(mesh: Mesh,
                         axis_name: str = DATA_AXIS) -> NamedSharding:
     """[K, B, ...] stacked-step batches: step axis replicated, batch dim
-    (axis 1) sharded over dp — the layout `train.loop.make_multi_step`
-    scans over."""
-    return NamedSharding(mesh, P(None, axis_name))
+    (axis 1) sharded over every mesh axis — the layout
+    `train.loop.make_multi_step` scans over."""
+    return NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
 
 
 def stack_batches(mesh: Mesh, batches: Sequence[Any]) -> Any:

@@ -223,7 +223,9 @@ def make_sharded_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
     mesh = mesh if mesh is not None else pmesh.make_mesh()
     fn = make_serving_fn(spec, variables, dtype=dtype,
                          cast_weights=cast_weights)
-    axis = mesh.axis_names[0]
-    sfn = jax.shard_map(fn, mesh=mesh, in_specs=P(axis),
-                        out_specs=(P(axis), P(axis)), check_vma=False)
+    # shard the batch over EVERY mesh axis (a multi-slice ("dcn", "dp")
+    # mesh is pure data parallelism here too)
+    axes = tuple(mesh.axis_names)
+    sfn = jax.shard_map(fn, mesh=mesh, in_specs=P(axes),
+                        out_specs=(P(axes), P(axes)), check_vma=False)
     return jax.jit(sfn)

@@ -246,3 +246,47 @@ def test_multi_step_data_parallel_matches_per_step_dispatch(
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
     assert np.isfinite(float(mm["loss"]))
+
+
+def test_multi_slice_mesh_matches_single_device(small_assets, gator_setup,
+                                                rng):
+    """Multi-slice deployment: a 2-D ("dcn", "dp") mesh (2 slices x 4
+    chips here) must reproduce single-device training and serving — the
+    batch shards over both axes and GSPMD layers the gradient all-reduce
+    per-slice (ICI) then cross-slice (DCN)."""
+    from gator_tpu.serving import make_serving_fn, make_sharded_serving_fn
+
+    spec, tx, state, step = gator_setup
+    mesh2d = make_mesh(n_slices=2)
+    assert mesh2d.axis_names == ("dcn", "dp")
+    assert dict(mesh2d.shape) == {"dcn": 2, "dp": 4}
+    batch = _synthetic_batch(small_assets, rng, b=16)
+    key, edge = jax.random.PRNGKey(11), jnp.asarray(1.0)
+
+    def fresh():
+        return jax.tree_util.tree_map(jnp.array, state)
+
+    s1, m1 = jax.jit(step)(fresh(), batch, key, edge)
+    s2 = replicate(mesh2d, fresh())
+    dstep = jit_data_parallel(step, mesh2d)
+    s2, m2 = dstep(s2, shard_batch(mesh2d, batch), key, edge)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2.5e-3)
+
+    # sharded serving on the same 2-D mesh equals the unsharded fn
+    variables = jax.tree_util.tree_map(jnp.asarray,
+                                       dict(s1.model_variables()))
+    pose = np.asarray(batch["pose2d"])
+    sfn = make_sharded_serving_fn(spec, variables, mesh=mesh2d,
+                                  dtype=jnp.float32)
+    smesh, _ = sfn(jnp.asarray(pose))
+    umesh, _ = jax.jit(make_serving_fn(spec, variables,
+                                       dtype=jnp.float32))(
+        jnp.asarray(pose))
+    np.testing.assert_allclose(np.asarray(smesh), np.asarray(umesh),
+                               atol=1e-5)
