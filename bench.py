@@ -201,8 +201,8 @@ def bench_train_e2e():
     host->device traffic, GT synthesis, and dispatch overhead."""
     from gator_tpu.cli.common import Session
     from gator_tpu.config import load_config
-    from gator_tpu.parallel import (make_mesh, replicate, shard_batch,
-                                    stack_batches, superbatch_sharding)
+    from gator_tpu.parallel import (EpochDeviceStream, make_mesh, replicate,
+                                    superbatch_sharding)
     from gator_tpu.train import (TrainState, jit_data_parallel,
                                  make_multi_step)
 
@@ -218,10 +218,10 @@ def bench_train_e2e():
     dstep = jit_data_parallel(train_step, mesh)
     dmulti = jit_data_parallel(make_multi_step(train_step), mesh,
                                batch_spec=superbatch_sharding(mesh))
+    # epoch-resident index stream (cli/train.py's gt_in_step=full path):
+    # ONE device_put per epoch, per-dispatch payloads sliced on device
     sess.pipeline.chunk = k
-    sess.pipeline.transfer = lambda bs: (
-        (stack_batches(mesh, bs), len(bs)) if len(bs) > 1
-        else (shard_batch(mesh, bs[0]), 1))
+    sess.pipeline.epoch_transfer = EpochDeviceStream(mesh, k)
     rng = jax.random.PRNGKey(0)
     edge = jnp.asarray(1.0)
 

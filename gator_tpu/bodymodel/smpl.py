@@ -84,19 +84,33 @@ def smpl_forward(
     v_posed = v_shaped + einsum(
         "vcp,bp->bvc", params.posedirs, pose_feature)
 
-    # kinematic chain: global 3x4 transforms, unrolled over static topology
-    rots = []      # per-joint global rotation [B,3,3]
-    locs = []      # per-joint global joint location [B,3]
-    rots.append(rotmats[:, 0])
-    locs.append(joints_rest[:, 0])
+    # kinematic chain: global transforms, joints grouped by tree DEPTH.
+    # A parent always sits exactly one level above its child, so each
+    # level composes against the previous level's [B, n_l, 3, 3] tensor
+    # in one batched einsum — 2 einsums per level (~8 levels) instead of
+    # 2 per joint (46 tiny HIGHEST matmuls): the chain is dispatch-bound
+    # on TPU at 3x3 sizes. Per-joint math (and f32 contraction order) is
+    # identical to the sequential unroll.
+    depth = [0] * num_joints
     for i in range(1, num_joints):
-        parent = params.parents[i]
-        offset = joints_rest[:, i] - joints_rest[:, parent]
-        rots.append(einsum("bxy,byz->bxz", rots[parent], rotmats[:, i]))
-        locs.append(locs[parent] + einsum(
-            "bxy,by->bx", rots[parent], offset))
-    rot_global = jnp.stack(rots, axis=1)     # [B, 24, 3, 3]
-    joints = jnp.stack(locs, axis=1)         # [B, 24, 3]
+        depth[i] = depth[params.parents[i]] + 1
+    levels = [np.asarray([i for i in range(num_joints) if depth[i] == d])
+              for d in range(max(depth) + 1)]
+    pos = {int(j): k for k, j in enumerate(levels[0])}
+    rot_lv = [rotmats[:, levels[0]]]         # level 0 = root
+    loc_lv = [joints_rest[:, levels[0]]]
+    for ids in levels[1:]:
+        par = np.asarray([params.parents[i] for i in ids])
+        ppos = np.asarray([pos[int(p)] for p in par])
+        prev_r = rot_lv[-1][:, ppos]         # [B, n_l, 3, 3]
+        prev_l = loc_lv[-1][:, ppos]
+        off = joints_rest[:, ids] - joints_rest[:, par]
+        rot_lv.append(einsum("bjxy,bjyz->bjxz", prev_r, rotmats[:, ids]))
+        loc_lv.append(prev_l + einsum("bjxy,bjy->bjx", prev_r, off))
+        pos = {int(j): k for k, j in enumerate(ids)}
+    inv = np.argsort(np.concatenate(levels))
+    rot_global = jnp.concatenate(rot_lv, axis=1)[:, inv]  # [B, 24, 3, 3]
+    joints = jnp.concatenate(loc_lv, axis=1)[:, inv]      # [B, 24, 3]
 
     # relative-to-rest transforms: t_rel = t_global - R_global @ j_rest
     t_rel = joints - einsum("bjxy,bjy->bjx", rot_global, joints_rest)

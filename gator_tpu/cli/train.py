@@ -18,8 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import load_config
-from ..parallel import (make_mesh, replicate, shard_batch, stack_batches,
-                        superbatch_sharding)
+from ..parallel import (EpochDeviceStream, make_mesh, replicate, shard_batch,
+                        stack_batches, superbatch_sharding)
 from ..train import (TrainState, jit_data_parallel, load_checkpoint,
                      make_multi_step, pick_checkpoint, run_eval,
                      save_checkpoint)
@@ -120,7 +120,14 @@ def main(argv=None):
     # With K>1 the worker also groups K host batches and stacks them into
     # one [K, B, ...] super-batch; the epoch tail may yield a single
     # leftover batch.
-    if k_dispatch == 1:
+    if getattr(sess, "gt_in_step", "off") == "full":
+        # index-only batches (~12 B/sample): ship the WHOLE epoch in one
+        # device_put and slice per-dispatch payloads on device — zero
+        # per-dispatch transfers (each costs a non-overlapped ~30 ms
+        # round-trip on relay-attached hosts)
+        sess.pipeline.chunk = k_dispatch
+        sess.pipeline.epoch_transfer = EpochDeviceStream(mesh, k_dispatch)
+    elif k_dispatch == 1:
         sess.pipeline.transfer = lambda b: shard_batch(mesh, b)
     else:
         sess.pipeline.chunk = k_dispatch

@@ -60,6 +60,12 @@ class BatchPipeline:
         # group this many consecutive batches into one yielded item
         # (requires a `transfer` hook to combine them)
         self.chunk = 1
+        # epoch-granular transfer hook (e.g. parallel.EpochDeviceStream):
+        # receives the WHOLE epoch's host batches at once and yields
+        # (payload, n) pairs — index-only mode ships ~12 B/sample, so one
+        # device_put covers the epoch and per-dispatch transfers vanish.
+        # Takes precedence over `transfer`/`chunk` grouping.
+        self.epoch_transfer = None
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -94,6 +100,16 @@ class BatchPipeline:
     def _items(self, plan, rng) -> Iterator:
         """Yield the epoch's work items: per-batch dicts (chunk == 1) or
         transfer()-combined groups of up to `chunk` batches."""
+        if self.epoch_transfer is not None:
+            if self.mode != "index":
+                raise ValueError(
+                    "BatchPipeline.epoch_transfer needs mode='index' — "
+                    "only index-only batches are small enough to ship a "
+                    "whole epoch in one transfer")
+            hosts = [self._make_host(p, rng) for p in plan]
+            for payload, n in self.epoch_transfer(hosts):
+                yield (payload, n) if self.chunk > 1 else payload
+            return
         if self.chunk <= 1:
             for pairs in plan:
                 yield self._make(pairs, rng)

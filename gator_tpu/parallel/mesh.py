@@ -86,6 +86,78 @@ def stack_batches(mesh: Mesh, batches: Sequence[Any]) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+class EpochDeviceStream:
+    """One host->device transfer per EPOCH for index-only batches.
+
+    With the device-side input pipeline (`TRAIN.gt_in_step="full"`) a
+    batch is just (row indices, flip flags, rotation angles) — ~12 bytes
+    per sample — so the whole epoch's batches fit in one [NB, B, ...]
+    tensor (a few MB even at dataset scale). Shipping that in ONE
+    `device_put` and slicing per-dispatch payloads out of the
+    device-resident tensor removes every per-dispatch transfer from the
+    training loop: on relay-attached hosts each `device_put` costs a full
+    ~30 ms round-trip that does NOT overlap device compute (the measured
+    e2e table in docs/PERFORMANCE.md), and even on directly attached
+    hosts it removes NB/k dispatch-path copies.
+
+    Called with the epoch's list of host batch dicts; yields
+    `(payload, n)` pairs where payload is a device-resident [k, B, ...]
+    super-batch (sharded per `superbatch_sharding`, ready for
+    `make_multi_step`) for full groups and a [B, ...] batch (sharded per
+    `batch_sharding`) for epoch-tail singles. The slice programs compile
+    once per (k, shapes) and take the group offset as a traced scalar.
+    """
+
+    def __init__(self, mesh: Mesh, k: int):
+        import functools
+
+        import jax.numpy as jnp  # noqa: F401  (jit under the hood)
+
+        self.mesh = mesh
+        self.k = max(1, int(k))
+        self._sh = superbatch_sharding(mesh)
+
+        def _slice(epoch, i, k):
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_slice_in_dim(x, i, k, axis=0),
+                epoch)
+
+        def _index(epoch, i):
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, i, axis=0, keepdims=False), epoch)
+
+        # sharding propagates from the epoch tensor: [k, B, ...] keeps
+        # superbatch sharding, [B, ...] drops to batch sharding — axis 0
+        # is replicated, so neither slice needs communication
+        self._slice_k = jax.jit(functools.partial(_slice, k=self.k))
+        self._index_1 = jax.jit(_index)
+
+    def __call__(self, host_batches):
+        if not host_batches:
+            return
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *host_batches)
+        leaves, treedef = jax.tree_util.tree_flatten(stacked)
+        for x in leaves:
+            if isinstance(x, jax.Array):
+                raise ValueError(
+                    "EpochDeviceStream expects host (numpy) batches — "
+                    "index-only pipelines never carry device leaves")
+        moved = jax.device_put(leaves, [self._sh] * len(leaves))
+        epoch = jax.tree_util.tree_unflatten(treedef, moved)
+        nb, k, i = len(host_batches), self.k, 0
+        while i < nb:
+            if k > 1 and i + k <= nb:
+                yield self._slice_k(epoch, np.int32(i)), k
+                i += k
+            else:
+                # epoch tail: singles reuse the already-compiled
+                # one-step program (same policy as BatchPipeline._items)
+                yield self._index_1(epoch, np.int32(i)), 1
+                i += 1
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place every array in a (possibly nested) batch with its leading dim
     sharded across the mesh. All leaves ride ONE batched device_put call —

@@ -561,3 +561,66 @@ def test_device_input_pipeline_gat_matches_host(small_assets):
                     jax.tree_util.tree_leaves(s_dev.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2.5e-3)
+
+
+def test_epoch_device_stream_matches_grouped_transfer(small_assets):
+    """EpochDeviceStream (ONE device_put per epoch, payloads sliced out
+    of the device-resident [NB, B, ...] tensor) must yield the exact
+    payload stream of the per-group stack_batches/shard_batch transfer
+    path: same group sizes, same values, and the sharding layouts the
+    multi-step / single-step programs expect — including the epoch-tail
+    singles policy."""
+    import jax
+
+    from gator_tpu.data import processing
+    from gator_tpu.data.gt_synth import GtSynthesizer
+    from gator_tpu.parallel import (EpochDeviceStream, batch_sharding,
+                                    make_mesh, shard_batch, stack_batches,
+                                    superbatch_sharding)
+
+    synth = GtSynthesizer(small_assets)
+    opts = processing.ProcessOptions(is_train=True, flip_enabled=True,
+                                     rotate_factor=30.0)
+    ds = SyntheticDataset(small_assets, opts, n=40, seed=0,
+                          synthesizer=synth)
+    mesh = make_mesh()
+    k = 3                       # 40/8 = 5 batches -> one k-group + 2 tails
+
+    def build(epoch_mode):
+        pipe = BatchPipeline([ds], synth, batch_size=8, seed=3,
+                             prefetch=1, mode="index")
+        pipe.chunk = k
+        if epoch_mode:
+            pipe.epoch_transfer = EpochDeviceStream(mesh, k)
+        else:
+            pipe.transfer = lambda bs: (
+                (stack_batches(mesh, bs), len(bs)) if len(bs) > 1
+                else (shard_batch(mesh, bs[0]), 1))
+        pipe.set_epoch(2)
+        return list(pipe)
+
+    grouped, epoch = build(False), build(True)
+    assert [n for _, n in grouped] == [n for _, n in epoch] == [k, 1, 1]
+    sh_super, sh_batch = superbatch_sharding(mesh), batch_sharding(mesh)
+    for (pg, n), (pe, _) in zip(grouped, epoch):
+        want = sh_super if n > 1 else sh_batch
+        for key in pg:
+            np.testing.assert_array_equal(np.asarray(pg[key]),
+                                          np.asarray(pe[key]),
+                                          err_msg=key)
+            assert pe[key].sharding.is_equivalent_to(
+                want, np.asarray(pe[key]).ndim), (key, pe[key].sharding)
+
+    # chunk == 1: plain per-batch payloads with batch sharding
+    pipe1 = BatchPipeline([ds], synth, batch_size=8, seed=3,
+                          prefetch=0, mode="index")
+    pipe1.epoch_transfer = EpochDeviceStream(mesh, 1)
+    items = list(pipe1)
+    assert len(items) == 5 and isinstance(items[0], dict)
+    assert items[0]["idx"].sharding.is_equivalent_to(sh_batch, 1)
+
+    # guard: epoch-granular transfer is index-mode-only
+    bad = BatchPipeline([ds], synth, batch_size=8, seed=3, prefetch=0)
+    bad.epoch_transfer = EpochDeviceStream(mesh, 1)
+    with pytest.raises(ValueError, match="index"):
+        list(bad)
