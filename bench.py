@@ -229,7 +229,10 @@ def bench_train_e2e():
         sess.pipeline.set_epoch(epoch_id)
         n_done, t0 = 0, time.perf_counter()
         loss = jnp.asarray(0.0)
-        for payload, n in sess.pipeline:
+        # epoch_transfer + chunk>1 yields (payload, n) pairs; chunk==1
+        # would yield bare payloads (same normalization as cli/train.py)
+        for item in sess.pipeline:
+            payload, n = item if k > 1 else (item, 1)
             state, m = (dmulti if n > 1 else dstep)(state, payload, rng,
                                                     edge)
             loss = loss + m["loss"] * n

@@ -100,6 +100,8 @@ class EpochDeviceStream:
     e2e table in docs/PERFORMANCE.md), and even on directly attached
     hosts it removes NB/k dispatch-path copies.
 
+    Every host batch must have identical leaf shapes (configure the
+    pipeline with drop_last=True); ragged tails are rejected up front.
     Called with the epoch's list of host batch dicts; yields
     `(payload, n)` pairs where payload is a device-resident [k, B, ...]
     super-batch (sharded per `superbatch_sharding`, ready for
@@ -136,14 +138,27 @@ class EpochDeviceStream:
     def __call__(self, host_batches):
         if not host_batches:
             return
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: np.stack(xs), *host_batches)
-        leaves, treedef = jax.tree_util.tree_flatten(stacked)
-        for x in leaves:
+        # validate BEFORE np.stack: a jax.Array leaf would silently coerce
+        # to numpy inside np.stack (paying the device->host round-trip this
+        # class exists to avoid), and ragged batch shapes (drop_last=False
+        # tails) would fail inside np.stack with an opaque broadcast error
+        first = jax.tree_util.tree_leaves(host_batches[0])
+        for x in first:
             if isinstance(x, jax.Array):
                 raise ValueError(
                     "EpochDeviceStream expects host (numpy) batches — "
                     "index-only pipelines never carry device leaves")
+        shapes0 = [x.shape for x in first]
+        for k, hb in enumerate(host_batches[1:], start=1):
+            shapes = [x.shape for x in jax.tree_util.tree_leaves(hb)]
+            if shapes != shapes0:
+                raise ValueError(
+                    f"EpochDeviceStream needs uniform batch shapes (use "
+                    f"drop_last=True): batch 0 has {shapes0[:3]}..., "
+                    f"batch {k} has {shapes[:3]}...")
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *host_batches)
+        leaves, treedef = jax.tree_util.tree_flatten(stacked)
         moved = jax.device_put(leaves, [self._sh] * len(leaves))
         epoch = jax.tree_util.tree_unflatten(treedef, moved)
         nb, k, i = len(host_batches), self.k, 0

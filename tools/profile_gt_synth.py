@@ -153,7 +153,10 @@ def main():
         return mesh_mm[0, 0, 0]
 
     def f_chain(i):
-        # kinematic-chain-only slice of smpl_forward: rodrigues + chain
+        # rodrigues + PRE-OPTIMIZATION per-joint sequential chain — the
+        # baseline that smpl_forward's level-batched chain replaced; kept
+        # as a comparison point (the production chain's cost is inside
+        # the full-layer f_smpl measurement above)
         from gator_tpu.bodymodel.rotations import axis_angle_to_rotmat
         params = synth.params["neutral"]
         pose = tbl_pose[idx] + 1e-9 * i
@@ -191,7 +194,7 @@ def main():
         return p2[0, 0, 0] + j3[0, 0, 0]
 
     piece("smpl_mesh_cam (full)", f_smpl)
-    piece("rodrigues + kinematic chain", f_chain)
+    piece("rodrigues + chain (pre-opt form)", f_chain)
     piece("fitting_error", f_fit)
     piece("input assembly (crop+j3d)", f_input)
 
