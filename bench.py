@@ -41,9 +41,9 @@ import jax
 
 # persistent compilation cache: repeat bench runs skip the multi-minute
 # remote compiles through the TPU relay
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from gator_tpu.cli._cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 import jax.numpy as jnp
 import numpy as np
@@ -191,14 +191,17 @@ def bench_train(spec, variables, faces, j_regressor):
     return fused_pps, f32_pps
 
 
-def bench_train_e2e():
-    """Sustained END-TO-END stage-2 training rate: the real CLI data path
-    (BatchPipeline + prefetch worker) feeding the fused train step, with
-    the production fast recipe (configs/gator_synthetic_e2e.yml:
-    gt_in_step=full device-side input pipeline + 8-step scan dispatch).
-    Epoch 1 compiles; epoch 2 is timed. Unlike train_poses_per_sec (the
-    step alone in an on-device loop), this includes input assembly,
-    host->device traffic, GT synthesis, and dispatch overhead."""
+def bench_train_e2e(cfg_path="configs/gator_synthetic_e2e.yml",
+                    synthetic_n=20480):
+    """Sustained END-TO-END training rate: the real CLI data path
+    (BatchPipeline + prefetch worker) feeding the fused train step with
+    the production fast recipe of `cfg_path` (device-side input pipeline
+    + multi-step scan dispatch). Epoch 1 compiles; epoch 2 is timed.
+    Unlike train_poses_per_sec (the step alone in an on-device loop),
+    this includes input assembly, host->device traffic, GT synthesis,
+    and dispatch overhead. Works for both stages and all gt_in_step fast
+    modes (full: index-only batches; packed: host 2D input + device
+    targets — the detector-input flagship recipe)."""
     from gator_tpu.cli.common import Session
     from gator_tpu.config import load_config
     from gator_tpu.parallel import (EpochDeviceStream, make_mesh, replicate,
@@ -206,9 +209,10 @@ def bench_train_e2e():
     from gator_tpu.train import (TrainState, jit_data_parallel,
                                  make_multi_step)
 
-    cfg = load_config("configs/gator_synthetic_e2e.yml")
+    cfg = load_config(cfg_path)
     k = cfg.TRAIN.steps_per_dispatch
-    sess = Session(cfg, is_train=True, synthetic=True, synthetic_n=20480)
+    sess = Session(cfg, is_train=True, synthetic=True,
+                   synthetic_n=synthetic_n)
     tx = sess.make_optimizer()
     train_step, _ = sess.make_steps(tx)
     with jax.default_device(jax.devices("cpu")[0]):
@@ -218,12 +222,12 @@ def bench_train_e2e():
     dstep = jit_data_parallel(train_step, mesh)
     dmulti = jit_data_parallel(make_multi_step(train_step), mesh,
                                batch_spec=superbatch_sharding(mesh))
-    # epoch-resident index stream (cli/train.py's gt_in_step=full path):
-    # ONE device_put per epoch, per-dispatch payloads sliced on device
+    # epoch-resident batch stream (cli/train.py's fast path): ONE
+    # device_put per epoch, per-dispatch payloads sliced on device
     sess.pipeline.chunk = k
     sess.pipeline.epoch_transfer = EpochDeviceStream(mesh, k)
     rng = jax.random.PRNGKey(0)
-    edge = jnp.asarray(1.0)
+    extra = (rng, jnp.asarray(1.0)) if sess.is_gator else (rng,)
 
     def epoch(state, epoch_id):
         sess.pipeline.set_epoch(epoch_id)
@@ -233,8 +237,8 @@ def bench_train_e2e():
         # would yield bare payloads (same normalization as cli/train.py)
         for item in sess.pipeline:
             payload, n = item if k > 1 else (item, 1)
-            state, m = (dmulti if n > 1 else dstep)(state, payload, rng,
-                                                    edge)
+            state, m = (dmulti if n > 1 else dstep)(state, payload,
+                                                    *extra)
             loss = loss + m["loss"] * n
             n_done += n
         float(loss)        # sync: epoch truly finished
@@ -244,6 +248,36 @@ def bench_train_e2e():
     state, _ = epoch(state, 1)          # compile + warm
     _, pps = epoch(state, 2)
     return pps
+
+
+def bench_serve_latency(spec, variables):
+    """HOST-VISIBLE request latency through the serving path: numpy
+    keypoints in -> device dispatch -> mesh fetched back to host numpy.
+    Unlike p50_latency_ms (the on-device MARGINAL iteration time), this
+    includes jit dispatch and BOTH transfer directions — on a
+    relay-attached host that is dominated by the ~30 ms round-trip, which
+    is what an actual client of cli/serve.py experiences. Returns
+    (p50_b1_ms, p99_b1_ms, p50_b64_ms) over 40 requests each."""
+    from gator_tpu.serving import make_serving_fn
+
+    fn = jax.jit(make_serving_fn(spec, variables, dtype=jnp.bfloat16))
+    rng = np.random.default_rng(3)
+
+    def percentiles(b, reps=40):
+        pose = rng.normal(size=(b, 17, 2)).astype(np.float32)
+        np.asarray(fn(jnp.asarray(pose))[0])        # compile + warm
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            mesh, _ = fn(jnp.asarray(pose))
+            np.asarray(mesh)                        # host fetch completes
+            times.append((time.perf_counter() - t0) * 1e3)
+        return (float(np.percentile(times, 50)),
+                float(np.percentile(times, 99)))
+
+    p50_1, p99_1 = percentiles(1)
+    p50_64, _ = percentiles(64)
+    return p50_1, p99_1, p50_64
 
 
 def bench_host_pipeline(assets):
@@ -299,9 +333,15 @@ def main():
 
     kdiff32, kdiff16 = bench_kernel_parity(spec, variables)
     poses_per_sec, p50_ms, spread = bench_serving(spec, variables)
+    serve_p50_1, serve_p99_1, serve_p50_64 = bench_serve_latency(
+        spec, variables)
     train_pps, train_f32_pps = bench_train(spec, variables, assets.faces,
                                            assets.j_regressor_h36m)
     train_e2e_pps = bench_train_e2e()
+    train_e2e_det_pps = bench_train_e2e(
+        "configs/gator_synthetic_e2e_det.yml", synthetic_n=4096)
+    train_stage1_pps = bench_train_e2e(
+        "configs/gat_synthetic_e2e.yml", synthetic_n=16384)
     host_pps = bench_host_pipeline(assets)
 
     print(json.dumps({
@@ -310,8 +350,13 @@ def main():
         "unit": "poses/s",
         "vs_baseline": round(poses_per_sec / 10000.0, 3),
         "p50_latency_ms": round(p50_ms, 3),
+        "serve_request_p50_ms_b1": round(serve_p50_1, 2),
+        "serve_request_p99_ms_b1": round(serve_p99_1, 2),
+        "serve_request_p50_ms_b64": round(serve_p50_64, 2),
         "train_poses_per_sec": round(train_pps, 1),
         "train_e2e_poses_per_sec": round(train_e2e_pps, 1),
+        "train_e2e_det_poses_per_sec": round(train_e2e_det_pps, 1),
+        "train_stage1_poses_per_sec": round(train_stage1_pps, 1),
         "train_f32_xla_poses_per_sec": round(train_f32_pps, 1),
         "host_batch_poses_per_sec": round(host_pps, 1),
         "spread": round(spread, 4),

@@ -2,9 +2,34 @@
 CLIs (demo/serve) can enable it without importing the training stack."""
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
 
 import jax
+
+
+def default_cache_dir() -> str:
+    """Machine-keyed persistent cache location. XLA:CPU persists AOT
+    MACHINE CODE: executing a cached entry compiled on a different host
+    (or by a different XLA) can abort the whole process — cpu_aot_loader
+    only logs a "could lead to execution errors such as SIGILL" warning
+    and proceeds. This sandbox demonstrably moves between host machines
+    across sessions, so the directory is keyed by (arch, cpuinfo flags,
+    jax version): a cache written elsewhere becomes invisible instead of
+    fatal."""
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                    break
+        key = f"{platform.machine()}:{flags}:{jax.__version__}"
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    except Exception:   # noqa: BLE001 — cache is an optimization only
+        tag = "default"
+    return f"/tmp/jax_cache_{tag}"
 
 
 def enable_compile_cache():
@@ -14,7 +39,8 @@ def enable_compile_cache():
     JAX_CACHE_DIR overrides the location."""
     try:
         jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                          os.environ.get("JAX_CACHE_DIR",
+                                         default_cache_dir()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:   # noqa: BLE001 — cache is an optimization only
         pass

@@ -51,9 +51,13 @@ def make_opts(cfg: Config, is_train: bool) -> ProcessOptions:
 
 
 def build_datasets(cfg: Config, assets, names, is_train: bool,
-                   debug: bool = False, synthetic_n: int = 256):
+                   debug: bool = False, synthetic_n: int = 256,
+                   synthetic: bool = False, synthesizer=None):
     """Instantiate datasets by reference names; 'Synthetic' needs no
-    external data."""
+    external data. synthetic=True swaps every name for its in-memory
+    stand-in (COCO/MuCo get schema-faithful fabricated tables, everything
+    else the SmplTable SyntheticDataset) so any recipe — including the
+    mixed flagship detector-input one — runs without downloads."""
     data_dir = None
     for d in resolve_data_dirs(cfg):
         if osp.isdir(d):
@@ -62,10 +66,24 @@ def build_datasets(cfg: Config, assets, names, is_train: bool,
     opts = make_opts(cfg, is_train)
     out = []
     for name in names:
+        if synthetic:
+            from ..data.synthetic import (synthetic_coco_dataset,
+                                          synthetic_muco_dataset)
+            maker = {"COCO": synthetic_coco_dataset,
+                     "MuCo": synthetic_muco_dataset}.get(name)
+            if maker is not None and is_train:
+                out.append(maker(assets, opts, n=synthetic_n,
+                                 seed=cfg.seed, synthesizer=synthesizer))
+            else:
+                out.append(SyntheticDataset(assets, opts, n=synthetic_n,
+                                            seed=cfg.seed,
+                                            synthesizer=synthesizer))
+            continue
         cls = DATASETS[name]
         if name == "Synthetic":
             out.append(SyntheticDataset(assets, opts, n=synthetic_n,
-                                        seed=cfg.seed))
+                                        seed=cfg.seed,
+                                        synthesizer=synthesizer))
         elif name == "Human36M":
             out.append(cls(assets, opts, data_dir,
                            "train" if is_train else "test", debug=debug))
@@ -86,8 +104,6 @@ class Session:
         enable_compile_cache()
         names = (cfg.DATASET.train_list if is_train
                  else cfg.DATASET.test_list)
-        if synthetic:
-            names = ("Synthetic",)
         # assets depend only on the joint set + data dirs — a paired
         # train/eval session shares one build (SMPL load + graph tables)
         self.assets = assets if assets is not None else build_assets(
@@ -95,7 +111,9 @@ class Session:
         self.synth = GtSynthesizer(self.assets)
         self.datasets = build_datasets(cfg, self.assets, names, is_train,
                                        debug=debug,
-                                       synthetic_n=synthetic_n)
+                                       synthetic_n=synthetic_n,
+                                       synthetic=synthetic,
+                                       synthesizer=self.synth)
         self.is_gator = cfg.MODEL.name == "GATOR"
 
         if self.is_gator:
@@ -109,42 +127,97 @@ class Session:
 
         batch_size = (cfg.TRAIN.batch_size if is_train
                       else cfg.TEST.batch_size)
-        if cfg.TRAIN.gt_in_step not in ("off", "on", "full"):
-            raise ValueError(
-                f"TRAIN.gt_in_step must be 'off', 'on', or 'full'; got "
-                f"{cfg.TRAIN.gt_in_step!r}")
-        # "on" (in-step GT synthesis) only means something for the gator
-        # stage — gat batches carry no mesh, so it degrades to "off";
-        # "full" (device-side input pipeline) applies to both stages
-        self.gt_in_step = (cfg.TRAIN.gt_in_step
-                           if (is_train and cfg.TRAIN.gt_in_step != "off"
-                               and (self.is_gator
-                                    or cfg.TRAIN.gt_in_step == "full"))
-                           else "off")
-        if self.gt_in_step != "off":
-            bad = [type(d).__name__ for d in self.datasets
-                   if not getattr(d, "supports_raw_batches", False)]
-            if cfg.DATASET.input_joint_set == "coco" or bad:
-                raise ValueError(
-                    "TRAIN.gt_in_step needs non-COCO input and "
-                    f"shared-path datasets (unsupported: {bad})")
-        if self.gt_in_step == "full" and (
-                len(self.datasets) != 1 or not cfg.DATASET.use_gt_input):
-            raise ValueError("TRAIN.gt_in_step=full needs GT input and a "
-                             "single dataset (one device-resident table)")
-        mode = {"off": "full_batches", "on": "raw", "full": "index"}[
-            self.gt_in_step]
+        self.gt_in_step = self._resolve_gt_in_step(cfg, is_train)
+        mode = {"off": "full_batches", "on": "raw", "full": "index",
+                "packed": "packed"}[self.gt_in_step]
         self.pipeline = BatchPipeline(
             self.datasets, self.synth, batch_size,
             shuffle=cfg.TRAIN.shuffle if is_train else cfg.TEST.shuffle,
             seed=cfg.seed, stage="gator" if self.is_gator else "gat",
             drop_last=is_train,
             mode="full" if mode == "full_batches" else mode)
+        if self.gt_in_step == "packed":
+            # eager: packed-mode batches need each dataset's PackedView
+            self.packed_table()
 
         self.target_regressor = (
             self.assets.j_regressor_h36m
             if cfg.DATASET.target_joint_set == "human36"
             else self.assets.j_regressor_coco)
+
+    # -- fast-path resolution ----------------------------------------------
+
+    def _full_mode_ok(self, cfg) -> bool:
+        """Eligibility for gt_in_step='full' (index-only batches, whole
+        input pipeline in-step): GT 2D input, a non-COCO joint set, one
+        shared-path dataset (a single device-resident SmplTable)."""
+        return (cfg.DATASET.use_gt_input
+                and cfg.DATASET.input_joint_set != "coco"
+                and len(self.datasets) == 1
+                and all(getattr(d, "supports_raw_batches", False)
+                        for d in self.datasets))
+
+    def _packed_mode_ok(self) -> bool:
+        """Eligibility for gt_in_step='packed' (host 2D input + device
+        targets): every dataset must provide the packed_rows precompute."""
+        return all(hasattr(d, "packed_rows") for d in self.datasets)
+
+    def _resolve_gt_in_step(self, cfg, is_train: bool) -> str:
+        """Resolve cfg.TRAIN.gt_in_step to the mode this session runs.
+
+        "auto" picks the best fast path the recipe supports: "full" for
+        GT-input single-dataset non-COCO sessions, else "packed" for
+        recipes whose datasets all support the packed precompute (the
+        flagship detector-input H36M+COCO+MuCo mix lands here), else
+        "off". Explicit values validate strictly and raise when the
+        recipe can't support them."""
+        req = cfg.TRAIN.gt_in_step
+        if req not in ("off", "on", "full", "packed", "auto"):
+            raise ValueError(
+                f"TRAIN.gt_in_step must be 'off', 'on', 'full', 'packed',"
+                f" or 'auto'; got {req!r}")
+        if not is_train or req == "off":
+            return "off"
+        if req == "auto":
+            if self._full_mode_ok(cfg):
+                return "full"
+            if self._packed_mode_ok():
+                return "packed"
+            return "off"
+        if req == "packed":
+            if not self._packed_mode_ok():
+                bad = [type(d).__name__ for d in self.datasets
+                       if not hasattr(d, "packed_rows")]
+                raise ValueError(
+                    f"TRAIN.gt_in_step=packed: no packed_rows precompute "
+                    f"for {bad}")
+            return "packed"
+        # "on" (in-step GT synthesis) only means something for the gator
+        # stage — gat batches carry no mesh, so it degrades to "off"
+        if req == "on" and not self.is_gator:
+            return "off"
+        bad = [type(d).__name__ for d in self.datasets
+               if not getattr(d, "supports_raw_batches", False)]
+        if cfg.DATASET.input_joint_set == "coco" or bad:
+            raise ValueError(
+                "TRAIN.gt_in_step on/full needs non-COCO input and "
+                f"shared-path datasets (unsupported: {bad}); use "
+                "gt_in_step=packed (or auto) for detector/COCO-input "
+                "recipes")
+        if req == "full" and (len(self.datasets) != 1
+                              or not cfg.DATASET.use_gt_input):
+            raise ValueError("TRAIN.gt_in_step=full needs GT input and a "
+                             "single dataset (one device-resident table)")
+        return req
+
+    def packed_table(self):
+        """Build (once) and return the canonical packed table for this
+        session's datasets (gt_in_step='packed')."""
+        if getattr(self, "_packed_table", None) is None:
+            from ..data.packed import build_packed_tables
+            self._packed_table = build_packed_tables(self.datasets,
+                                                     self.synth)
+        return self._packed_table
 
     # -- model/optimizer ---------------------------------------------------
 
@@ -208,11 +281,20 @@ class Session:
                 train_step = with_device_input_pipeline(
                     train_step, self.synth, ds.table, ds.joint_set,
                     ds.opts, ds.opts.fitting_thr)
+            elif getattr(self, "gt_in_step", "off") == "packed":
+                from ..data.packed import with_packed_input_pipeline
+                train_step = with_packed_input_pipeline(
+                    train_step, self.packed_table(), self.synth,
+                    self.assets.joint_set, stage="gator")
+            # accuracy-reporting surface: eval ALWAYS runs f32 (bf16 costs
+            # a measured ~2.9 mm MPVPE; the <=0.1 mm parity target applies
+            # here) — cfg.TRAIN.precision only affects the train step
             eval_step = make_gator_eval_step(
                 self.spec, self.target_regressor,
                 self.assets.joint_set.eval_joints
                 if self.assets.joint_set.name == "human36" else
-                (1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16))
+                (1, 2, 3, 4, 5, 6, 8, 10, 11, 12, 13, 14, 15, 16),
+                dtype=_jnp.float32)
         else:
             train_step = make_gat_train_step(self.spec, tx,
                                              dtype=train_dtype,
@@ -223,6 +305,13 @@ class Session:
                 ds = self.datasets[0]
                 train_step = with_device_input_pipeline_gat(
                     train_step, ds.table, ds.joint_set, ds.opts)
+            elif getattr(self, "gt_in_step", "off") == "packed":
+                from ..data.packed import with_packed_input_pipeline
+                train_step = with_packed_input_pipeline(
+                    train_step, self.packed_table(), self.synth,
+                    self.assets.joint_set, stage="gat")
+            # same f32 rule as the gator eval step above
             eval_step = make_gat_eval_step(
-                self.spec, self.assets.joint_set.eval_joints)
+                self.spec, self.assets.joint_set.eval_joints,
+                dtype=_jnp.float32)
         return train_step, eval_step

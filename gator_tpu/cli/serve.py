@@ -42,8 +42,15 @@ def parse_args(argv=None):
                    help="also dump every --obj_every-th mesh as .obj")
     p.add_argument("--obj_every", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=("bfloat16", "float32"),
+                   help="serving compute dtype. The bfloat16 DEFAULT "
+                        "maximizes throughput at a measured ~2.9 mm MPVPE "
+                        "accuracy cost vs float32 (docs/PERFORMANCE.md); "
+                        "pass float32 for parity-accurate meshes "
+                        "(eval CLIs always run float32)")
     p.add_argument("--f32", action="store_true",
-                   help="serve in float32 instead of bfloat16")
+                   help="alias for --dtype float32")
     return p.parse_args(argv)
 
 
@@ -135,7 +142,7 @@ def main(argv=None):
     a = parse_args(argv)
     return run_serve(a.input_poses, a.joint_set, a.weights, a.output,
                      a.joints_output, a.obj_dir, a.obj_every,
-                     a.batch_size, a.f32)
+                     a.batch_size, a.f32 or a.dtype == "float32")
 
 
 if __name__ == "__main__":

@@ -120,11 +120,11 @@ def main(argv=None):
     # With K>1 the worker also groups K host batches and stacks them into
     # one [K, B, ...] super-batch; the epoch tail may yield a single
     # leftover batch.
-    if getattr(sess, "gt_in_step", "off") == "full":
-        # index-only batches (~12 B/sample): ship the WHOLE epoch in one
-        # device_put and slice per-dispatch payloads on device — zero
-        # per-dispatch transfers (each costs a non-overlapped ~30 ms
-        # round-trip on relay-attached hosts)
+    if getattr(sess, "gt_in_step", "off") in ("full", "packed"):
+        # small batches (~12 B/sample index-only; ~152 B/sample packed):
+        # ship the WHOLE epoch in one device_put and slice per-dispatch
+        # payloads on device — zero per-dispatch transfers (each costs a
+        # non-overlapped ~30 ms round-trip on relay-attached hosts)
         sess.pipeline.chunk = k_dispatch
         sess.pipeline.epoch_transfer = EpochDeviceStream(mesh, k_dispatch)
     elif k_dispatch == 1:

@@ -75,7 +75,13 @@ class TrainConfig:
     # (indices, flips, rots) only (~12 bytes/sample). Additionally
     # requires GT input and a single dataset. Works for BOTH training
     # stages ("on" is gator-only: gat batches carry no mesh).
-    gt_in_step: str = "off"          # "full" | "on" | "off"
+    # "packed": host-assembled 2D input (~152 B/sample, exact host-path
+    # noise/crop code) + device-resident targets/masks/mesh synthesis —
+    # covers detector-input, COCO-input, multi-dataset, and gendered
+    # recipes (the flagship H36M+COCO+MuCo mix).
+    # "auto": best supported fast path ("full", else "packed", else
+    # "off").
+    gt_in_step: str = "off"    # "auto" | "full" | "packed" | "on" | "off"
 
 
 @dataclasses.dataclass(frozen=True)

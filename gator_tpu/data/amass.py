@@ -100,6 +100,14 @@ class AmassDataset:
     def __len__(self):
         return len(self.table)
 
+    def packed_rows(self, synth: GtSynthesizer, indices):
+        from .packed import amass_packed_rows
+        return amass_packed_rows(self, synth, indices)
+
+    def make_packed_batch(self, indices, rng, stage: str = "gator"):
+        from .packed import make_packed_batch
+        return make_packed_batch(self, indices, rng, stage)
+
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,
                    stage: str = "gator") -> Dict[str, np.ndarray]:

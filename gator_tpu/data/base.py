@@ -191,6 +191,23 @@ class SmplPoseDataset:
         })
         return batch
 
+    def packed_rows(self, synth: GtSynthesizer, indices: np.ndarray):
+        """Epoch-invariant canonical rows for the packed device pipeline
+        (data/packed.py) — camera-rotated SMPL path with per-gender
+        grouping."""
+        from .packed import smpl_pose_packed_rows
+        return smpl_pose_packed_rows(self, synth, indices)
+
+    def make_packed_batch(self, indices: np.ndarray,
+                          rng: np.random.Generator,
+                          stage: str = "gator") -> Dict[str, np.ndarray]:
+        """Host batch for the packed pipeline: (row, flips, rots) plus the
+        fully-assembled 2D input (det-noise/crop/flip/normalize — the
+        exact host-path code). Requires `build_packed_tables` to have
+        attached this dataset's PackedView."""
+        from .packed import make_packed_batch
+        return make_packed_batch(self, indices, rng, stage)
+
     def make_index_batch(self, indices: np.ndarray,
                          rng: np.random.Generator,
                          stage: str = "gator") -> Dict[str, np.ndarray]:
@@ -236,6 +253,47 @@ class SmplPoseDataset:
             bad_zero_gat=is_coco, mesh_valid_dev=mesh_valid_dev)
 
 
+def input_pose2d(
+    opts: processing.ProcessOptions,
+    jset: JointSet,
+    rng: np.random.Generator,
+    joint_img_b: np.ndarray,                      # [B, J, 2]
+    flips: np.ndarray, rots: np.ndarray,          # [B]
+    detected_pose: Optional[np.ndarray] = None,   # [B, J, 2+] test dets
+    h36m_stats: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """The 2D-input half of `assemble_batch`, shared verbatim with the
+    packed device pipeline (data/packed.py) so both paths consume identical
+    rng draws and produce bitwise-equal inputs: optional detector
+    replacement (test), h36m Gaussian detector noise or the COCO keypoint
+    noise simulator (det-input training), then the vectorized
+    crop/flip/normalize (reference per-sample forms:
+    Human36M/dataset.py:364-389,421-453)."""
+    noise = None
+    coco_noise = None
+    dets = None
+    b = len(joint_img_b)
+    if not opts.use_gt_input and not opts.is_train \
+            and detected_pose is not None:
+        dets = detected_pose
+    if not opts.use_gt_input and opts.is_train \
+            and opts.input_joint_name == "human36" \
+            and h36m_stats is not None:
+        noise = np.stack([
+            noise_mod.generate_h36m_syn_error(h36m_stats, rng)
+            for _ in range(b)])
+        noise = noise / 256.0 * np.array(
+            [opts.input_shape[1], opts.input_shape[0]], np.float32)
+    if not opts.use_gt_input and opts.is_train \
+            and opts.input_joint_name == "coco":
+        coco_noise = {
+            "areas": processing.crop_area_batch(joint_img_b, opts),
+            "rng": rng}
+    return processing.batch_crop_and_normalize(
+        joint_img_b.astype(np.float32), jset, opts, flips, rots,
+        h36m_noise=noise, coco_noise=coco_noise, detected_pose=dets)
+
+
 def assemble_batch(
     opts: processing.ProcessOptions,
     jset: JointSet,
@@ -269,30 +327,9 @@ def assemble_batch(
     flips, rots = augm_params_batch(
         opts.is_train, opts.flip_enabled, opts.rotate_factor, b, rng)
 
-    # input assembly: fully vectorized (test-time detector keypoints ride
-    # the crop transform derived from the GT joints' bbox)
-    noise = None
-    coco_noise = None
-    dets = None
-    if not opts.use_gt_input and not opts.is_train \
-            and detected_pose is not None:
-        dets = detected_pose
-    if not opts.use_gt_input and opts.is_train \
-            and opts.input_joint_name == "human36" \
-            and h36m_stats is not None:
-        noise = np.stack([
-            noise_mod.generate_h36m_syn_error(h36m_stats, rng)
-            for _ in range(b)])
-        noise = noise / 256.0 * np.array(
-            [opts.input_shape[1], opts.input_shape[0]], np.float32)
-    if not opts.use_gt_input and opts.is_train \
-            and opts.input_joint_name == "coco":
-        coco_noise = {
-            "areas": processing.crop_area_batch(joint_img_b, opts),
-            "rng": rng}
-    pose2d = processing.batch_crop_and_normalize(
-        joint_img_b.astype(np.float32), jset, opts, flips, rots,
-        h36m_noise=noise, coco_noise=coco_noise, detected_pose=dets)
+    pose2d = input_pose2d(opts, jset, rng, joint_img_b, flips, rots,
+                          detected_pose=detected_pose,
+                          h36m_stats=h36m_stats)
 
     # vectorized 3D-target augmentation (augment.j3d_processing math)
     def batch_j3d(s):

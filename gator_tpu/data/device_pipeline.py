@@ -15,8 +15,11 @@ numpy forms. Reference per-sample equivalents:
 Human36M/dataset.py:339-419 (j2d/j3d processing inside __getitem__).
 
 Scope (checked at construction): GT 2D input (detector noise draws
-host-side rng), non-COCO joint set (the COCO input derives from the
-fitted mesh), neutral-gender rows, gator stage.
+host-side rng) and a non-COCO joint set (the COCO input derives from the
+fitted mesh) — detector-input / COCO-input / multi-dataset recipes ride
+the packed pipeline (data/packed.py) instead. Gendered tables are
+supported: one SMPL forward per gender present (static set) + per-row
+select.
 """
 from __future__ import annotations
 
@@ -93,16 +96,18 @@ def j3d_augment(s: jnp.ndarray, flip_perm: np.ndarray, flips: jnp.ndarray,
                      out).astype(jnp.float32)
 
 
+GENDERS = ("neutral", "female", "male")
+
+
 def _check_and_load_table(table, opts, need_smpl: bool):
     if not opts.use_gt_input:
         raise ValueError("device input pipeline: detector-noise input "
-                         "draws host-side rng; needs use_gt_input")
+                         "draws host-side rng; needs use_gt_input "
+                         "(the packed pipeline covers detector input)")
     if opts.input_joint_name == "coco":
         raise ValueError("device input pipeline: the COCO 2D input "
-                         "derives from the fitted mesh on host")
-    if need_smpl and (np.asarray(table.gender) != 0).any():
-        raise ValueError("device input pipeline requires neutral-gender "
-                         "rows (one SMPL parameter set per program)")
+                         "derives from the fitted mesh on host "
+                         "(the packed pipeline covers it)")
     tbl = {
         "joint_img": jnp.asarray(
             np.asarray(table.joint_img_h36m)[..., :2], jnp.float32),
@@ -116,7 +121,33 @@ def _check_and_load_table(table, opts, need_smpl: bool):
             "cam_r": jnp.asarray(table.cam_r, jnp.float32),
             "cam_t": jnp.asarray(table.cam_t, jnp.float32),
         })
+        # gendered rows: one SMPL forward per gender PRESENT in the table
+        # (a static, build-time set — all-neutral tables keep the single
+        # pass) with a per-row select, matching the host path's per-gender
+        # grouping (base.make_batch; reference layers: lib/smpl.py:11-52)
+        genders = tuple(
+            g for code, g in enumerate(GENDERS)
+            if (np.asarray(table.gender) == code).any()) or ("neutral",)
+        tbl["_genders"] = genders
+        if len(genders) > 1:
+            tbl["gender"] = jnp.asarray(table.gender, jnp.int32)
     return tbl
+
+
+def _gendered_mesh_cam(synth, tbl, idx, pose, shape, trans, cam_r, cam_t):
+    """smpl_mesh_cam over every gender present in the table + per-row
+    select; compiles to exactly one forward for all-neutral tables."""
+    genders = tbl["_genders"]
+    out = None
+    for g in genders:
+        mesh_mm, _ = synth.smpl_mesh_cam(pose, shape, trans, cam_r, cam_t,
+                                         g)
+        if out is None:
+            out = mesh_mm
+        else:
+            sel = (tbl["gender"][idx] == GENDERS.index(g))[:, None, None]
+            out = jnp.where(sel, mesh_mm, out)
+    return out
 
 
 def with_device_input_pipeline_gat(step_fn: Callable, table, jset,
@@ -160,9 +191,9 @@ def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
         flips, rots = batch["flips"], batch["rots"]
         jc = tbl["joint_cam"][idx]
         jh = jc - jc[:, :1]
-        mesh_mm, _ = synth.smpl_mesh_cam(
-            tbl["pose"][idx], tbl["shape"][idx], tbl["trans"][idx],
-            tbl["cam_r"][idx], tbl["cam_t"][idx], "neutral")
+        mesh_mm = _gendered_mesh_cam(
+            synth, tbl, idx, tbl["pose"][idx], tbl["shape"][idx],
+            tbl["trans"][idx], tbl["cam_r"][idx], tbl["cam_t"][idx])
         fit = synth.fitting_error(jh, mesh_mm)
         valid = synth.fit_valid_mask(fit, fitting_thr)
         inner = {

@@ -58,21 +58,21 @@ class GtSynthesizer:
         self._lhip, self._rhip = 11, 12     # coco joint indices
         self._lsho, self._rsho = 5, 6
 
-    @functools.partial(jax.jit, static_argnums=(0, 6))
-    def smpl_mesh_cam(self, pose, shape, trans, cam_r, cam_t,
-                      gender: str = "neutral"):
-        """Batched get_smpl_coord: returns (mesh_mm [B,V,3],
-        smpl_joints_mm [B,24,3]) in camera space, millimeters
+    def _mesh_cam_parts(self, pose, shape, trans, cam_r, cam_t,
+                        gender: str):
+        """Shared core of smpl_mesh_cam / smpl_cam_decompose: camera-rotated
+        effective inputs + the translation-compensation offset
         (reference: Human36M/dataset.py:254-300)."""
-        pose = rotate_root_pose(pose, cam_r)
+        pose_eff = rotate_root_pose(pose, cam_r)
         shape = _clean_shape(shape)
         # zeroed betas mean 'use model mean betas' (smpl_layer.py:87-95);
         # synthetic/neutral models carry zero mean betas so this is exact
         mean_b = jnp.asarray(self.assets.smpl_gendered[gender].mean_betas)
         zero = jnp.all(shape == 0, axis=1, keepdims=True)
-        shape = jnp.where(zero, mean_b[None], shape)
+        shape_eff = jnp.where(zero, mean_b[None], shape)
 
-        verts, joints = smpl_forward(self.params[gender], pose, shape)
+        verts, joints = smpl_forward(self.params[gender], pose_eff,
+                                     shape_eff)
 
         # translation compensation: the root rotation was about the origin,
         # not the root joint (reference: dataset.py:287-295)
@@ -84,9 +84,32 @@ class GtSynthesizer:
                       - root + jnp.einsum(
                           "bij,bkj->bki", cam_r, root,
                           precision=jax.lax.Precision.HIGHEST))
-        verts = (verts + smpl_trans) * 1000.0
-        joints = (joints + smpl_trans) * 1000.0
-        return verts, joints
+        return pose_eff, shape_eff, smpl_trans, verts, joints
+
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def smpl_mesh_cam(self, pose, shape, trans, cam_r, cam_t,
+                      gender: str = "neutral"):
+        """Batched get_smpl_coord: returns (mesh_mm [B,V,3],
+        smpl_joints_mm [B,24,3]) in camera space, millimeters
+        (reference: Human36M/dataset.py:254-300)."""
+        _, _, smpl_trans, verts, joints = self._mesh_cam_parts(
+            pose, shape, trans, cam_r, cam_t, gender)
+        return (verts + smpl_trans) * 1000.0, (joints + smpl_trans) * 1000.0
+
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def smpl_cam_decompose(self, pose, shape, trans, cam_r, cam_t,
+                           gender: str = "neutral"):
+        """smpl_mesh_cam split into per-row EFFECTIVE inputs for the packed
+        device pipeline (data/packed.py): returns (pose_eff [B,72],
+        shape_eff [B,10], trans_off_m [B,3], mesh_mm [B,V,3]) such that
+        (smpl_forward(params[gender], pose_eff, shape_eff)[0]
+         + trans_off_m[:, None]) * 1000 == mesh_mm — the camera rotation,
+        beta cleaning, mean-beta substitution, and translation compensation
+        are all folded into epoch-invariant per-row constants."""
+        pose_eff, shape_eff, smpl_trans, verts, _ = self._mesh_cam_parts(
+            pose, shape, trans, cam_r, cam_t, gender)
+        return (pose_eff, shape_eff, smpl_trans[:, 0],
+                (verts + smpl_trans) * 1000.0)
 
     def _prep_shape(self, shape, gender, clean):
         if clean:

@@ -141,6 +141,14 @@ class MucoDataset:
         gt = rel[:, self._h36m_from_muco[mask]].astype(np.float32)
         return np.asarray(self._fit_err_jit(gt, mesh_mm))
 
+    def packed_rows(self, synth: GtSynthesizer, indices):
+        from .packed import muco_packed_rows
+        return muco_packed_rows(self, synth, indices)
+
+    def make_packed_batch(self, indices, rng, stage: str = "gator"):
+        from .packed import make_packed_batch
+        return make_packed_batch(self, indices, rng, stage)
+
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,
                    stage: str = "gator") -> Dict[str, np.ndarray]:

@@ -38,8 +38,10 @@ class BatchPipeline:
         # (make_raw_batch — SMPL/camera params instead of meshes, for
         # in-step GT synthesis). "index": index-only batches
         # (make_index_batch — the step gathers everything from the
-        # device-resident table).
-        if mode not in ("full", "raw", "index"):
+        # device-resident table). "packed": host-assembled 2D input +
+        # device-resident targets (make_packed_batch — the det-input /
+        # mixed-dataset fast path, data/packed.py).
+        if mode not in ("full", "raw", "index", "packed"):
             raise ValueError(f"unknown BatchPipeline mode {mode!r}")
         self.mode = mode
         self.synth = synthesizer
@@ -101,11 +103,11 @@ class BatchPipeline:
         """Yield the epoch's work items: per-batch dicts (chunk == 1) or
         transfer()-combined groups of up to `chunk` batches."""
         if self.epoch_transfer is not None:
-            if self.mode != "index":
+            if self.mode not in ("index", "packed"):
                 raise ValueError(
-                    "BatchPipeline.epoch_transfer needs mode='index' — "
-                    "only index-only batches are small enough to ship a "
-                    "whole epoch in one transfer")
+                    "BatchPipeline.epoch_transfer needs mode='index' or "
+                    "'packed' — only those batches are small enough to "
+                    "ship a whole epoch in one transfer")
             hosts = [self._make_host(p, rng) for p in plan]
             for payload, n in self.epoch_transfer(hosts):
                 yield (payload, n) if self.chunk > 1 else payload
@@ -144,6 +146,9 @@ class BatchPipeline:
             elif self.mode == "index":
                 part = ds.make_index_batch(pairs[sel, 1], rng,
                                            stage=self.stage)
+            elif self.mode == "packed":
+                part = ds.make_packed_batch(pairs[sel, 1], rng,
+                                            stage=self.stage)
             else:
                 part = ds.make_batch(pairs[sel, 1], self.synth, rng,
                                      stage=self.stage)

@@ -32,6 +32,7 @@ def make_gator_train_step(
     remat: bool = False,
     fused: bool = False,
     fused_interpret: bool = False,
+    fused_opts: Optional[Dict] = None,
 ) -> Callable:
     """Stage-2 step. batch dict keys: pose2d [B,J,2], mesh [B,V,3] (m),
     lift_pose3d [B,J,3] (mm), reg_pose3d [B,17,3] (mm), and validity masks
@@ -55,7 +56,8 @@ def make_gator_train_step(
     if fused:
         from .fused_forward import make_fused_forward
         apply_model = make_fused_forward(spec, dtype=dtype,
-                                         interpret=fused_interpret)
+                                         interpret=fused_interpret,
+                                         **(fused_opts or {}))
     else:
         def apply_model(params, batch_stats, pose2d, dropout_rng):
             variables = {"params": params}

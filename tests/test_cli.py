@@ -36,6 +36,55 @@ def test_train_then_test_cli(tmp_path_factory, cfg_path):
     np.testing.assert_allclose(out["mpjpe"], err, rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_train_cli_packed_det_recipe(tmp_path_factory):
+    """Full CLI round trip on the DETECTOR-INPUT mixed flagship recipe
+    shape (H36M+COCO+MuCo stand-ins, coco input, use_gt_input=false):
+    gt_in_step=auto must engage the packed fast path (epoch-resident
+    stream + K-step scan) and train/eval/checkpoint end to end."""
+    from gator_tpu.cli.train import main as train_main
+
+    exp = str(tmp_path_factory.mktemp("exp_det"))
+    err = train_main(["--cfg", "configs/gator_synthetic_smoke_det.yml",
+                      "--synthetic", "--synthetic_n", "32",
+                      "--epochs", "1", "--exp_dir", exp])
+    assert np.isfinite(err)
+    assert os.path.isdir(os.path.join(exp, "checkpoint", "best"))
+
+
+@pytest.mark.slow
+def test_train_cli_convergence_small(tmp_path_factory, tmp_path):
+    """CPU-lane twin of tools/run_convergence_cli.py: the full CLI loop
+    (plateau scheduler on eval MPJPE, edge-loss gate opening mid-run,
+    best tracking) over several epochs must improve both the training
+    loss and the eval error."""
+    import importlib.util
+
+    import yaml
+
+    raw = yaml.safe_load(open(CFG))
+    raw["TRAIN"].update({"end_epoch": 3, "scheduler": "platue",
+                         "edge_loss_start": 1, "lr": 0.0005,
+                         "print_freq": 100})
+    cfg2 = str(tmp_path / "conv.yml")
+    yaml.safe_dump(raw, open(cfg2, "w"))
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "run_convergence_cli.py")
+    spec_ = importlib.util.spec_from_file_location("conv_cli", tool)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    exp = str(tmp_path_factory.mktemp("exp_conv"))
+    result = mod.run(epochs=3, n=64, exp_dir=exp, cfg_path=cfg2)
+    ls = result["train_loss_per_epoch"]
+    j = result["eval_mpjpe_per_epoch"]
+    assert len(ls) == len(j) == 3
+    assert ls[-1] < ls[0], ls
+    assert min(j) < j[0], j
+    assert result["best_dir_exists"]
+    assert result["plateau_scheduler_state"]
+
+
 def test_pth_tar_weight_loading(tmp_path, cfg_path, small_assets):
     """A reference-format .pth.tar (incl. DataParallel 'module.' prefixes)
     loads through the converter in cli.test's weight loader."""
@@ -95,6 +144,30 @@ def test_serve_cli_batch(tmp_path, small_assets_coco):
     assert res["joints3d"].shape == (5, 19, 3)
     assert (tmp_path / "objs" / "mesh_000000.obj").exists()
     assert (tmp_path / "objs" / "mesh_000003.obj").exists()
+
+
+def test_dtype_surfaces_pinned():
+    """Accuracy-surface dtype contract: serve exposes --dtype with the
+    bf16 default documented (its ~2.9 mm MPVPE cost), --dtype float32 /
+    --f32 select the parity path, and the EVAL steps default to f32."""
+    import inspect
+
+    import jax.numpy as jnp
+
+    from gator_tpu.cli.serve import parse_args
+    from gator_tpu.train.loop import (make_gat_eval_step,
+                                      make_gator_eval_step)
+
+    base = ["--input_poses", "x.npy"]
+    import gator_tpu.cli.serve as serve_mod
+    a = parse_args(base)
+    assert a.dtype == "bfloat16" and not a.f32
+    assert "2.9 mm" in inspect.getsource(serve_mod.parse_args)
+    assert parse_args(base + ["--dtype", "float32"]).dtype == "float32"
+    assert parse_args(base + ["--f32"]).f32
+    for fn in (make_gat_eval_step, make_gator_eval_step):
+        assert inspect.signature(fn).parameters["dtype"].default \
+            is jnp.float32, fn.__name__
 
 
 @pytest.mark.slow

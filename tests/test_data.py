@@ -270,6 +270,28 @@ def test_synthesize_pose_batch_distribution():
         assert abs((ds > 200).mean() - (db > 200).mean()) < 0.03
 
 
+@pytest.mark.slow
+def test_noise_distribution_gate_small_n():
+    """CPU-lane version of tools/check_noise_distribution.py (the 1e5-draw
+    statistical gate on the batched noise simulator's documented
+    deviations): state frequencies and radius KS distance at recipe OKS
+    areas, thresholds loosened for the small N."""
+    import importlib.util
+    import os.path as osp
+
+    tool = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "tools", "check_noise_distribution.py")
+    spec_ = importlib.util.spec_from_file_location("check_noise_dist",
+                                                   tool)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    results = mod.run(n=3000, seed=0)
+    assert set(results) == {"area_8000", "area_30000", "area_80000"}
+    for k, r in results.items():
+        assert r["state_freq_max_abs_diff"] <= 0.02, (k, r)
+        assert r["radius_ks_distance"] <= 0.04, (k, r)
+
+
 def test_coco_train_noise_batch_path(small_assets_coco):
     """Train-time COCO detector-noise synthesis runs on the vectorized
     path inside batch_crop_and_normalize (reference applies the scalar

@@ -1,0 +1,108 @@
+"""Multi-epoch on-chip convergence artifact (VERDICT r3 item 3): run the
+FULL training CLI — checkpointing, ReduceLROnPlateau stepping on eval
+MPJPE, the edge-loss gate opening mid-run, best-model tracking, per-epoch
+sharded eval — for N synthetic epochs on the real device, assert the eval
+error actually improves, and record the curves
+(reference loop being reproduced: main/train.py:37-62).
+
+Run on the TPU:
+    python tools/run_convergence_cli.py [--epochs 12] [--n 2048] \
+        [--out artifacts/convergence_tpu.json]
+
+The CPU test lane runs the same loop at tiny scale
+(tests/test_cli.py::test_train_cli_convergence_small).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def run(epochs: int, n: int, exp_dir: str, cfg_path: str, seed: int = 0):
+    import jax
+
+    from gator_tpu.cli.train import main as train_main
+    from gator_tpu.train import load_checkpoint, pick_checkpoint
+
+    t0 = time.time()
+    best = train_main(["--cfg", cfg_path, "--synthetic",
+                       "--synthetic_n", str(n), "--epochs", str(epochs),
+                       "--exp_dir", exp_dir, "--seed", str(seed)])
+    wall = time.time() - t0
+    ckpt = load_checkpoint(pick_checkpoint(
+        os.path.join(exp_dir, "checkpoint")))
+    loss_hist = [float(x) for x in ckpt.get("train_log", [])]
+    test_log = ckpt.get("test_log") or {}
+    joint_hist = [float(x) for x in test_log.get("joint", [])]
+    surface_hist = [float(x) for x in test_log.get("surface", [])]
+    sched = {k: float(v) for k, v in (ckpt.get("scheduler") or {}).items()}
+    return {
+        "config": cfg_path,
+        "epochs": epochs,
+        "synthetic_n": n,
+        "wall_seconds": round(wall, 1),
+        "device": str(jax.devices()[0]),
+        "best_joint_err_mm": float(best),
+        "train_loss_per_epoch": [round(x, 5) for x in loss_hist],
+        "eval_mpjpe_per_epoch": [round(x, 3) for x in joint_hist],
+        "eval_mpvpe_per_epoch": [round(x, 3) for x in surface_hist],
+        "plateau_scheduler_state": sched,
+        "best_dir_exists": os.path.isdir(
+            os.path.join(exp_dir, "checkpoint", "best")),
+    }
+
+
+def check(result: dict) -> list:
+    """Convergence assertions; returns a list of failures (empty = ok)."""
+    fails = []
+    j = result["eval_mpjpe_per_epoch"]
+    ls = result["train_loss_per_epoch"]
+    if len(j) < result["epochs"]:
+        fails.append(f"missing eval epochs: {len(j)}")
+    if j and not (min(j) < 0.7 * j[0]):
+        fails.append(f"eval MPJPE did not improve >=30%: {j[0]} -> "
+                     f"{min(j)}")
+    if j and not (j[-1] <= 1.25 * min(j)):
+        fails.append(f"eval MPJPE diverged at the end: last {j[-1]} vs "
+                     f"best {min(j)}")
+    if ls and not (ls[-1] < ls[0]):
+        fails.append(f"train loss did not decrease: {ls[0]} -> {ls[-1]}")
+    if not result["best_dir_exists"]:
+        fails.append("best/ checkpoint missing")
+    return fails
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--n", type=int, default=2048)
+    ap.add_argument("--cfg", type=str,
+                    default="configs/gator_synthetic_convergence.yml")
+    ap.add_argument("--exp_dir", type=str, default=None)
+    ap.add_argument("--out", type=str,
+                    default="artifacts/convergence_tpu.json")
+    args = ap.parse_args(argv)
+
+    exp_dir = args.exp_dir or os.path.join(
+        "/tmp", f"gator_convergence_{int(time.time())}")
+    result = run(args.epochs, args.n, exp_dir, args.cfg)
+    fails = check(result)
+    result["passed"] = not fails
+    result["failures"] = fails
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("train_loss_per_epoch",)}, indent=1))
+    print(f"-> {args.out}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
