@@ -201,7 +201,9 @@ def bench_train_e2e(cfg_path="configs/gator_synthetic_e2e.yml",
     this includes input assembly, host->device traffic, GT synthesis,
     and dispatch overhead. Works for both stages and all gt_in_step fast
     modes (full: index-only batches; packed: host 2D input + device
-    targets — the detector-input flagship recipe)."""
+    targets; device: index-only batches with IN-STEP detector-noise
+    synthesis — what "auto" picks for the detector-input flagship
+    recipe)."""
     from gator_tpu.cli.common import Session
     from gator_tpu.config import load_config
     from gator_tpu.parallel import (EpochDeviceStream, make_mesh, replicate,

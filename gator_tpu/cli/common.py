@@ -129,14 +129,14 @@ class Session:
                       else cfg.TEST.batch_size)
         self.gt_in_step = self._resolve_gt_in_step(cfg, is_train)
         mode = {"off": "full_batches", "on": "raw", "full": "index",
-                "packed": "packed"}[self.gt_in_step]
+                "packed": "packed", "device": "device"}[self.gt_in_step]
         self.pipeline = BatchPipeline(
             self.datasets, self.synth, batch_size,
             shuffle=cfg.TRAIN.shuffle if is_train else cfg.TEST.shuffle,
             seed=cfg.seed, stage="gator" if self.is_gator else "gat",
             drop_last=is_train,
             mode="full" if mode == "full_batches" else mode)
-        if self.gt_in_step == "packed":
+        if self.gt_in_step in ("packed", "device"):
             # eager: packed-mode batches need each dataset's PackedView
             self.packed_table()
 
@@ -166,32 +166,35 @@ class Session:
         """Resolve cfg.TRAIN.gt_in_step to the mode this session runs.
 
         "auto" picks the best fast path the recipe supports: "full" for
-        GT-input single-dataset non-COCO sessions, else "packed" for
+        GT-input single-dataset non-COCO sessions, else "device" for
         recipes whose datasets all support the packed precompute (the
-        flagship detector-input H36M+COCO+MuCo mix lands here), else
-        "off". Explicit values validate strictly and raise when the
-        recipe can't support them."""
+        flagship detector-input H36M+COCO+MuCo mix lands here — batches
+        are index-only and the 2D input, detector-noise synthesis
+        included, assembles in-step on device), else "off". "packed"
+        (host-assembled 2D input, bitwise-identical to the host path's
+        rng stream) stays available explicitly. Explicit values validate
+        strictly and raise when the recipe can't support them."""
         req = cfg.TRAIN.gt_in_step
-        if req not in ("off", "on", "full", "packed", "auto"):
+        if req not in ("off", "on", "full", "packed", "device", "auto"):
             raise ValueError(
                 f"TRAIN.gt_in_step must be 'off', 'on', 'full', 'packed',"
-                f" or 'auto'; got {req!r}")
+                f" 'device', or 'auto'; got {req!r}")
         if not is_train or req == "off":
             return "off"
         if req == "auto":
             if self._full_mode_ok(cfg):
                 return "full"
             if self._packed_mode_ok():
-                return "packed"
+                return "device"
             return "off"
-        if req == "packed":
+        if req in ("packed", "device"):
             if not self._packed_mode_ok():
                 bad = [type(d).__name__ for d in self.datasets
                        if not hasattr(d, "packed_rows")]
                 raise ValueError(
-                    f"TRAIN.gt_in_step=packed: no packed_rows precompute "
+                    f"TRAIN.gt_in_step={req}: no packed_rows precompute "
                     f"for {bad}")
-            return "packed"
+            return req
         # "on" (in-step GT synthesis) only means something for the gator
         # stage — gat batches carry no mesh, so it degrades to "off"
         if req == "on" and not self.is_gator:
@@ -281,11 +284,13 @@ class Session:
                 train_step = with_device_input_pipeline(
                     train_step, self.synth, ds.table, ds.joint_set,
                     ds.opts, ds.opts.fitting_thr)
-            elif getattr(self, "gt_in_step", "off") == "packed":
+            elif getattr(self, "gt_in_step", "off") in ("packed", "device"):
                 from ..data.packed import with_packed_input_pipeline
                 train_step = with_packed_input_pipeline(
                     train_step, self.packed_table(), self.synth,
-                    self.assets.joint_set, stage="gator")
+                    self.assets.joint_set, stage="gator",
+                    opts=self.datasets[0].opts,
+                    device_input=self.gt_in_step == "device")
             # accuracy-reporting surface: eval ALWAYS runs f32 (bf16 costs
             # a measured ~2.9 mm MPVPE; the <=0.1 mm parity target applies
             # here) — cfg.TRAIN.precision only affects the train step
@@ -305,11 +310,13 @@ class Session:
                 ds = self.datasets[0]
                 train_step = with_device_input_pipeline_gat(
                     train_step, ds.table, ds.joint_set, ds.opts)
-            elif getattr(self, "gt_in_step", "off") == "packed":
+            elif getattr(self, "gt_in_step", "off") in ("packed", "device"):
                 from ..data.packed import with_packed_input_pipeline
                 train_step = with_packed_input_pipeline(
                     train_step, self.packed_table(), self.synth,
-                    self.assets.joint_set, stage="gat")
+                    self.assets.joint_set, stage="gat",
+                    opts=self.datasets[0].opts,
+                    device_input=self.gt_in_step == "device")
             # same f32 rule as the gator eval step above
             eval_step = make_gat_eval_step(
                 self.spec, self.assets.joint_set.eval_joints,

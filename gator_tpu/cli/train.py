@@ -120,7 +120,7 @@ def main(argv=None):
     # With K>1 the worker also groups K host batches and stacks them into
     # one [K, B, ...] super-batch; the epoch tail may yield a single
     # leftover batch.
-    if getattr(sess, "gt_in_step", "off") in ("full", "packed"):
+    if getattr(sess, "gt_in_step", "off") in ("full", "packed", "device"):
         # small batches (~12 B/sample index-only; ~152 B/sample packed):
         # ship the WHOLE epoch in one device_put and slice per-dispatch
         # payloads on device — zero per-dispatch transfers (each costs a

@@ -81,7 +81,7 @@ class TrainConfig:
     # recipes (the flagship H36M+COCO+MuCo mix).
     # "auto": best supported fast path ("full", else "packed", else
     # "off").
-    gt_in_step: str = "off"    # "auto" | "full" | "packed" | "on" | "off"
+    gt_in_step: str = "off"    # "auto"|"full"|"device"|"packed"|"on"|"off"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,200 @@
+"""Detector-noise synthesis ON DEVICE (jax.random, jit-traceable).
+
+jnp port of the host simulator (`noise.synthesize_pose_batch` /
+`noise.generate_h36m_syn_error`) so detector-input recipes can ride the
+index-only device pipeline: the whole 2D-input path — gather, noise,
+crop/flip/normalize — runs inside the train step and the host ships
+~12 B/sample. The host numpy form measures ~3x10^2 poses/s single-thread
+(a 17-joint sequential rejection sampler over 256-512 candidates per
+state); at the fused train step's ~10k poses/s that makes host noise THE
+bottleneck of the detector-input flagship recipe, so the synthesis moves
+to where the throughput is.
+
+Semantics match the host batched form state-for-state (same candidate
+counts k=256 / k_miss=512, same probability tables, radii, rejection and
+center-weighting rules — reference: lib/noise_utils.py:17-285 via
+data/noise.py); only the RNG stream differs (threefry vs PCG64), so
+cross-path equivalence is DISTRIBUTIONAL, pinned by
+tests/test_device_noise.py (state frequencies + radius quantiles vs the
+host form) and tools/check_noise_distribution.py (three-way gate against
+the scalar oracle), the same bars the host batched form carries.
+
+TPU shape: the host loop's only cross-joint dependency is through the
+SYMMETRIC PAIR — joint j's rejection/inversion centers read synth[pair],
+which is the pair's *synthesized* position when pair < j and its
+*original* position when pair > j. Since the pairing is an involution,
+the 17 joints split into two independent waves (wave 1: each joint's
+pair is still unsynthesized -> original centers; wave 2: each joint's
+pair was synthesized in wave 1), and within a wave no joint reads
+another — so each wave processes as ONE batched [B, m, K] program
+instead of 17 sequential [B, K] programs. Identical dependency
+structure, ~8x fewer ops at 9x the shape (measured ~3x faster on chip).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .noise import (_INV_P, _JIT_HIGH, _JIT_LOW, _MISS_HIGH, _MISS_LOW,
+                    _MISS_MID, _PAIR, KPS_SIGMAS, NUM_KPS)
+
+# the two dependency waves (see module docstring): wave 1 = joints whose
+# pair is later (or absent), wave 2 = joints whose pair is earlier
+_WAVE1 = np.array([j for j in range(NUM_KPS)
+                   if _PAIR[j] < 0 or _PAIR[j] > j], np.int32)
+_WAVE2 = np.array([j for j in range(NUM_KPS) if 0 <= _PAIR[j] < j],
+                  np.int32)
+
+
+def _annulus(key, centers, r_lo, r_hi, k, reject, reject_r):
+    """K candidates per row, uniform in the [r_lo, r_hi] annulus around
+    centers [..., 2]; reject = [(other [..., 2], other_valid [...])]
+    rejects points within reject_r (or the point's own radius when None)
+    of the other centers. Returns (pts [..., K, 2], accept [..., K])."""
+    shp = centers.shape[:-1]
+    ka, kr = jax.random.split(key)
+    ang = jax.random.uniform(ka, (*shp, k), maxval=2 * np.pi)
+    r = (jax.random.uniform(kr, (*shp, k)) * (r_hi - r_lo)[..., None]
+         + r_lo[..., None])
+    pts = centers[..., None, :] + jnp.stack(
+        [r * jnp.cos(ang), r * jnp.sin(ang)], axis=-1)
+    mask = jnp.ones((*shp, k), bool)
+    for other, ovalid in reject:
+        d = jnp.linalg.norm(pts - other[..., None, :], axis=-1)
+        rr = r if reject_r is None else reject_r[..., None]
+        mask &= jnp.where(ovalid[..., None], d > rr, True)
+    return pts.astype(jnp.float32), mask
+
+
+def _pick(key, pts, mask):
+    """Uniform pick among each row's accepted candidates -> (pt [..., 2],
+    ok [...]) — same index arithmetic as the host `_pick_accepted`."""
+    cnt = mask.sum(-1)
+    u = jax.random.uniform(key, cnt.shape)
+    m = jnp.minimum((u * jnp.maximum(cnt, 1)).astype(jnp.int32),
+                    jnp.maximum(cnt - 1, 0))
+    csum = jnp.cumsum(mask, axis=-1)
+    sel = jnp.argmax(csum == (m + 1)[..., None], axis=-1)
+    pt = jnp.take_along_axis(pts, sel[..., None, None],
+                             axis=-2)[..., 0, :]
+    return pt, cnt > 0
+
+
+def synthesize_pose_device(key: jax.Array, joints: jnp.ndarray,
+                           areas: jnp.ndarray,
+                           valid: jnp.ndarray | None = None,
+                           k: int = 256,
+                           k_miss: int = 512) -> jnp.ndarray:
+    """Device `synthesize_pose_batch`: joints [B, 17, 2], areas [B],
+    valid [B, 17] (defaults to all-visible — the training det-input path
+    always passes fully-visible crops) -> [B, 17, 2] with zeroed rows for
+    the (rare) zero-accepted fallback state.
+
+    Processes the two pair-dependency waves in order (wave 2's inversion
+    and rejection centers see wave 1's synthesized positions, exactly
+    like the host in-order loop); within a wave all joints batch into
+    one [B, m, K] program. Every stage draws from a fold_in-derived
+    subkey so the stream is reproducible and independent of XLA
+    scheduling.
+    """
+    b = joints.shape[0]
+    if valid is None:
+        valid = jnp.ones((b, NUM_KPS), bool)
+    else:
+        valid = valid.astype(bool)
+    variances = jnp.asarray((KPS_SIGMAS * 2) ** 2, jnp.float32)
+
+    def ks_dist(ks):
+        return jnp.sqrt(-2.0 * areas[:, None] * variances[None]
+                        * np.log(ks)).astype(jnp.float32)
+
+    ks10, ks50, ks85 = ks_dist(0.10), ks_dist(0.50), ks_dist(0.85)
+    synth = joints.astype(jnp.float32)
+    num_valid = valid.sum(-1)[:, None]          # [B, 1]
+    jit_low = jnp.asarray(_JIT_LOW)
+    jit_high = jnp.asarray(_JIT_HIGH)
+    miss_low = jnp.asarray(_MISS_LOW)
+    miss_mid = jnp.asarray(_MISS_MID)
+    miss_high = jnp.asarray(_MISS_HIGH)
+    inv_tbl = jnp.asarray(np.asarray(_INV_P, np.float32))
+
+    for w, J in enumerate((_WAVE1, _WAVE2)):
+        kw = jax.random.fold_in(key, w)
+        ks = jax.random.split(kw, 12)
+        m = len(J)
+        gt = synth[:, J]                         # [B, m, 2]
+        P = _PAIR[J]
+        p_safe = np.where(P < 0, 0, P)
+        has_pair = jnp.asarray(P >= 0)[None]     # [1, m]
+        pair_valid = valid[:, p_safe] & has_pair  # [B, m]
+        pair_pos = jnp.where(has_pair[..., None], synth[:, p_safe], 0.0)
+        ones = jnp.ones((b, m), bool)
+
+        jitter_p = jnp.where(num_valid <= 10, jit_low[J][None],
+                             jit_high[J][None])
+        miss_p = jnp.where(num_valid <= 5, miss_low[J][None],
+                           jnp.where(num_valid <= 10, miss_mid[J][None],
+                                     miss_high[J][None]))
+        inv_p = jnp.broadcast_to(inv_tbl[J][None], (b, m))
+        ks85w, ks50w, ks10w = ks85[:, J], ks50[:, J], ks10[:, J]
+        zeros_r = jnp.zeros((b, m), jnp.float32)
+
+        jit_pt, jit_ok = _pick(ks[0], *_annulus(
+            ks[1], gt, ks85w, ks50w, k, [(pair_pos, pair_valid)], None))
+        good_pt, good_ok = _pick(ks[2], *_annulus(
+            ks[3], gt, zeros_r, ks85w, k, [(pair_pos, pair_valid)], None))
+        inv_pt, inv_ok = _pick(ks[4], *_annulus(
+            ks[5], pair_pos, zeros_r, ks50w, k, [(gt, ones)], None))
+        inv_ok &= pair_valid
+
+        mg_pts, mg_m = _annulus(
+            ks[6], gt, ks50w, ks10w, k_miss,
+            [(pair_pos, pair_valid)], ks50w)
+        mp_pts, mp_m = _annulus(
+            ks[7], pair_pos, ks50w, ks10w, k_miss, [(gt, ones)], ks50w)
+        mp_m &= pair_valid[..., None]
+        n_g = mg_m.sum(-1)
+        n_p = mp_m.sum(-1)
+        # host form: pair-centered candidates enter the uniform pick with
+        # weight floor(n_p/4) against the n_g gt-centered ones
+        w_p = jnp.floor(n_p / 4.0)
+        total = n_g + w_p
+        take_pair = (jax.random.uniform(ks[8], (b, m))
+                     * jnp.maximum(total, 1e-9)) < w_p
+        mg_pt, _ = _pick(ks[9], mg_pts, mg_m)
+        mp_pt, _ = _pick(ks[10], mp_pts, mp_m)
+        miss_pt = jnp.where(take_pair[..., None], mp_pt, mg_pt)
+        miss_ok = total > 0
+
+        good_p = 1.0 - (jitter_p + miss_p + inv_p)
+        probs = jnp.stack([jitter_p * jit_ok, miss_p * miss_ok,
+                           inv_p * inv_ok, good_p * good_ok], axis=-1)
+        z = probs.sum(-1)
+        u = jax.random.uniform(ks[11], (b, m)) * jnp.maximum(z, 1e-12)
+        state = jnp.minimum(
+            (u[..., None] >= jnp.cumsum(probs, -1)).sum(-1), 3)
+        cand = jnp.stack([jit_pt, miss_pt, inv_pt, good_pt], axis=2)
+        chosen = jnp.take_along_axis(cand, state[..., None, None],
+                                     axis=2)[:, :, 0]
+        dead = z <= 0
+        synth = synth.at[:, J].set(
+            jnp.where(dead[..., None], 0.0, chosen))
+    return synth
+
+
+def h36m_syn_error_device(key: jax.Array, stats: np.ndarray, b: int,
+                          input_shape) -> jnp.ndarray:
+    """Device `generate_h36m_syn_error` + the input-shape rescale the host
+    path applies (reference: Human36M/dataset.py:143-155,423): per-joint
+    Gaussian detector error in 256-crop pixel units, each joint perturbed
+    with probability `weight`, scaled to the model input resolution.
+    Returns [B, J, 2] additive crop-space noise."""
+    j = stats.shape[0]
+    kn, kk = jax.random.split(key)
+    noise = (stats[None, :, 0:2]
+             + jax.random.normal(kn, (b, j, 2)) * stats[None, :, 2:4])
+    keep = stats[None, :, 4] > jax.random.uniform(kk, (b, j))
+    scale = jnp.asarray(
+        [input_shape[1] / 256.0, input_shape[0] / 256.0], jnp.float32)
+    return (noise * keep[..., None] * scale).astype(jnp.float32)

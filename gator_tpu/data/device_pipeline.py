@@ -37,12 +37,11 @@ def _flip_perm(num_joint: int, flip_pairs) -> np.ndarray:
     return perm
 
 
-def crop_normalize_gt(joint_img: jnp.ndarray, flip_perm: np.ndarray,
-                      input_shape, flips: jnp.ndarray,
-                      rots: jnp.ndarray) -> jnp.ndarray:
-    """jnp port of processing.batch_crop_and_normalize, GT-input branch:
-    tight bbox -> aspect snap -> rotate-about-center affine -> flip ->
-    [0,1] scaling -> per-sample standardization."""
+def affine_crop(joint_img: jnp.ndarray, input_shape,
+                rots: jnp.ndarray) -> jnp.ndarray:
+    """Crop-space pixel joints: tight bbox -> aspect snap ->
+    rotate-about-center affine (the first half of
+    processing.batch_crop_and_normalize, before noise/flip/normalize)."""
     res_h, res_w = int(input_shape[0]), int(input_shape[1])
     aspect = input_shape[1] / input_shape[0]
 
@@ -68,9 +67,15 @@ def crop_normalize_gt(joint_img: jnp.ndarray, flip_perm: np.ndarray,
     rel = joint_img - jnp.stack([cx, cy], axis=1)[:, None, :]
     xr = cs[:, None] * rel[..., 0] + sn[:, None] * rel[..., 1]
     yr = -sn[:, None] * rel[..., 0] + cs[:, None] * rel[..., 1]
-    out = jnp.stack([xr * k[:, None] + res_w / 2.0,
-                     yr * k[:, None] + res_h / 2.0], axis=-1)
+    return jnp.stack([xr * k[:, None] + res_w / 2.0,
+                      yr * k[:, None] + res_h / 2.0], axis=-1)
 
+
+def flip_standardize(out: jnp.ndarray, flip_perm: np.ndarray, input_shape,
+                     flips: jnp.ndarray) -> jnp.ndarray:
+    """Flip + [0,1] scaling + per-sample standardization (the second half
+    of processing.batch_crop_and_normalize, after optional noise)."""
+    res_h, res_w = int(input_shape[0]), int(input_shape[1])
     flipped = out[:, flip_perm]
     flipped = flipped.at[..., 0].set(res_w - flipped[..., 0] - 1)
     out = jnp.where((flips > 0)[:, None, None], flipped, out)
@@ -79,6 +84,16 @@ def crop_normalize_gt(joint_img: jnp.ndarray, flip_perm: np.ndarray,
     mean = out.mean(axis=1, keepdims=True)
     std = out.std(axis=1, keepdims=True)
     return ((out - mean) / std).astype(jnp.float32)
+
+
+def crop_normalize_gt(joint_img: jnp.ndarray, flip_perm: np.ndarray,
+                      input_shape, flips: jnp.ndarray,
+                      rots: jnp.ndarray) -> jnp.ndarray:
+    """jnp port of processing.batch_crop_and_normalize, GT-input branch:
+    tight bbox -> aspect snap -> rotate-about-center affine -> flip ->
+    [0,1] scaling -> per-sample standardization."""
+    return flip_standardize(affine_crop(joint_img, input_shape, rots),
+                            flip_perm, input_shape, flips)
 
 
 def j3d_augment(s: jnp.ndarray, flip_perm: np.ndarray, flips: jnp.ndarray,

@@ -51,9 +51,14 @@ import numpy as np
 from ..bodymodel.smpl import smpl_forward
 from . import processing
 from .base import input_pose2d
-from .device_pipeline import _flip_perm, j3d_augment
+from .device_pipeline import (_flip_perm, affine_crop, flip_standardize,
+                              j3d_augment)
 
 GENDER_CODES = {"neutral": 0, "female": 1, "male": 2}
+
+# fold_in salt decorrelating the in-step detector-noise stream from the
+# dropout stream (which is fold_in(rng, state.step) with no extra fold)
+_NOISE_SALT = 0x6E6F69
 
 
 @dataclasses.dataclass
@@ -73,6 +78,12 @@ class PackedTable:
     gat_valid: np.ndarray        # [N]
     gender: np.ndarray           # [N] int32 (GENDER_CODES)
     joint_img_input: np.ndarray  # [N, J, 2] input pixel joints (host 2D)
+    # device-input extras (gt_in_step="device"): epoch-invariant per-row
+    # OKS crop area driving the detector-noise radii, the rows whose
+    # dataset applies h36m Gaussian noise, and that noise's [J,5] stats
+    crop_area: Optional[np.ndarray] = None       # [N] f32
+    h36m_noise_on: Optional[np.ndarray] = None   # [N] f32 0/1
+    h36m_stats: Optional[np.ndarray] = None      # [J, 5] or None
 
     def __len__(self):
         return self.pose_eff.shape[0]
@@ -137,7 +148,25 @@ def build_packed_tables(datasets: Sequence, synth,
             row_offset=offset,
             h36m_stats=getattr(ds, "_h36m_stats", None))
         offset += len(ds)
-    return PackedTable(**{k: np.concatenate(cols[k]) for k in _COLUMNS})
+    table = PackedTable(**{k: np.concatenate(cols[k]) for k in _COLUMNS})
+    # device-input extras: the OKS crop area is a pure function of the
+    # (epoch-invariant) input joints, so it precomputes per row; rows
+    # inherit their dataset's h36m-noise eligibility and (shared) stats
+    table.crop_area = processing.crop_area_batch(
+        table.joint_img_input, datasets[0].opts)
+    noise_on, stats = [], None
+    for ds in datasets:
+        s = ds._packed.h36m_stats
+        noise_on.append(np.full(len(ds), 0.0 if s is None else 1.0,
+                                np.float32))
+        if s is not None:
+            if stats is not None and not np.array_equal(stats, s):
+                raise ValueError("packed table: datasets disagree on "
+                                 "h36m noise stats")
+            stats = np.asarray(s, np.float32)
+    table.h36m_noise_on = np.concatenate(noise_on)
+    table.h36m_stats = stats
+    return table
 
 
 def make_packed_batch(ds, indices: np.ndarray, rng: np.random.Generator,
@@ -164,6 +193,25 @@ def make_packed_batch(ds, indices: np.ndarray, rng: np.random.Generator,
             "pose2d": pose2d}
 
 
+def make_device_batch(ds, indices: np.ndarray, rng: np.random.Generator,
+                      stage: str = "gator") -> Dict[str, np.ndarray]:
+    """Host batch for the DEVICE-input packed pipeline (gt_in_step=
+    "device"): global row ids + aug params only (~12 B/sample) — the 2D
+    input, including detector-noise synthesis, assembles inside the step
+    (`with_packed_input_pipeline(device_input=True)`)."""
+    from .augment import augm_params_batch
+
+    pk: PackedView = ds._packed
+    idx = np.asarray(indices)
+    opts = ds.opts
+    flips, rots = augm_params_batch(
+        opts.is_train, opts.flip_enabled, opts.rotate_factor, len(idx),
+        rng)
+    return {"row": (pk.row_offset + idx).astype(np.int32),
+            "flips": flips.astype(np.float32),
+            "rots": rots.astype(np.float32)}
+
+
 def gendered_smpl_verts(params_by_gender: Dict, genders_present,
                         gender_codes: jnp.ndarray, pose: jnp.ndarray,
                         shape: jnp.ndarray) -> jnp.ndarray:
@@ -183,18 +231,48 @@ def gendered_smpl_verts(params_by_gender: Dict, genders_present,
 
 def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
                                synth, jset, stage: str = "gator",
-                               input_shape=None) -> Callable:
+                               input_shape=None, opts=None,
+                               device_input: bool = False) -> Callable:
     """Wrap a train step to assemble all TARGETS on device from the packed
     table: gather rows, synthesize the GT mesh (per-present-gender SMPL),
     augment the lift target, and gather the precomputed fit-gate masks.
-    The batch carries only (row, flips, rots, pose2d)."""
-    del input_shape  # the 2D input arrives fully assembled
+
+    device_input=False (gt_in_step="packed"): the batch ships the
+    host-assembled 2D input (row, flips, rots, pose2d) — bitwise-identical
+    input to the host path. device_input=True (gt_in_step="device"): the
+    batch is index-only (row, flips, rots) and the 2D input — gather,
+    in-step detector-noise synthesis (device_noise), crop/flip/normalize —
+    assembles on device too; requires `opts` (the session ProcessOptions)
+    and, for noisy recipes, the table's crop_area/h36m columns."""
+    if device_input:
+        if opts is None:
+            raise ValueError("device_input=True needs the session opts")
+        if table.crop_area is None:
+            raise ValueError("device_input=True needs a table built by "
+                             "build_packed_tables (crop_area column)")
+        input_shape = tuple(opts.input_shape)
+        want_coco_noise = (opts.is_train and not opts.use_gt_input
+                           and opts.input_joint_name == "coco")
+        want_h36m_noise = (opts.is_train and not opts.use_gt_input
+                           and opts.input_joint_name == "human36"
+                           and table.h36m_stats is not None)
+    else:
+        del input_shape  # the 2D input arrives fully assembled
     perm = _flip_perm(jset.joint_num, jset.flip_pairs)
     genders = table.genders_present
     tbl = {
         "joint_cam_input": jnp.asarray(table.joint_cam_input, jnp.float32),
         "gat_valid": jnp.asarray(table.gat_valid, jnp.float32),
     }
+    if device_input:
+        tbl["joint_img_input"] = jnp.asarray(table.joint_img_input,
+                                             jnp.float32)
+        if want_coco_noise:
+            tbl["crop_area"] = jnp.asarray(table.crop_area, jnp.float32)
+        if want_h36m_noise:
+            tbl["h36m_noise_on"] = jnp.asarray(table.h36m_noise_on,
+                                               jnp.float32)
+            tbl["h36m_stats"] = jnp.asarray(table.h36m_stats, jnp.float32)
     if stage == "gator":
         tbl.update({
             "pose_eff": jnp.asarray(table.pose_eff, jnp.float32),
@@ -211,13 +289,38 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
     if len(genders) > 1:
         tbl["gender"] = jnp.asarray(table.gender, jnp.int32)
 
+    def device_pose2d(state, row, flips, rots, rng):
+        """In-step 2D input: gather -> affine crop -> detector noise
+        (device_noise, keyed per optimizer step like dropout) -> flip +
+        standardize. Host-path order: processing.batch_crop_and_normalize."""
+        out = affine_crop(tbl["joint_img_input"][row], input_shape, rots)
+        if want_coco_noise or want_h36m_noise:
+            from .device_noise import (h36m_syn_error_device,
+                                       synthesize_pose_device)
+            nk = jax.random.fold_in(jax.random.fold_in(rng, state.step),
+                                    _NOISE_SALT)
+            if want_coco_noise:
+                # noise on the 17 coco keypoints in crop space; extra
+                # pelvis/neck rows pass through untouched
+                synth2d = synthesize_pose_device(nk, out[:, :17],
+                                                 tbl["crop_area"][row])
+                out = out.at[:, :17].set(synth2d)
+            else:
+                noise = h36m_syn_error_device(
+                    nk, tbl["h36m_stats"], row.shape[0], input_shape)
+                out = out + noise * tbl["h36m_noise_on"][row][:, None,
+                                                              None]
+        return flip_standardize(out, perm, input_shape, flips)
+
     def step(state, batch: Dict[str, jnp.ndarray], *extra):
         row = batch["row"]
         flips, rots = batch["flips"], batch["rots"]
+        pose2d = (device_pose2d(state, row, flips, rots, extra[0])
+                  if device_input else batch["pose2d"])
         lift = j3d_augment(tbl["joint_cam_input"][row], perm, flips, rots)
         if stage != "gator":
             inner = {
-                "pose2d": batch["pose2d"],
+                "pose2d": pose2d,
                 "joint_cam": lift,
                 "joint_valid": tbl["gat_valid"][row][:, None, None],
             }
@@ -228,7 +331,7 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
                                     tbl["shape_eff"][row])
         mesh = (verts + tbl["offset_m"][row][:, None]).astype(jnp.float32)
         inner = {
-            "pose2d": batch["pose2d"],
+            "pose2d": pose2d,
             "mesh": mesh,
             "lift_pose3d": lift,
             "reg_pose3d": tbl["reg_pose"][row],

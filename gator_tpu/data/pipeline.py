@@ -40,8 +40,10 @@ class BatchPipeline:
         # (make_index_batch — the step gathers everything from the
         # device-resident table). "packed": host-assembled 2D input +
         # device-resident targets (make_packed_batch — the det-input /
-        # mixed-dataset fast path, data/packed.py).
-        if mode not in ("full", "raw", "index", "packed"):
+        # mixed-dataset fast path, data/packed.py). "device": index-only
+        # packed batches — the 2D input (incl. detector-noise synthesis)
+        # assembles IN-STEP too (packed.make_device_batch).
+        if mode not in ("full", "raw", "index", "packed", "device"):
             raise ValueError(f"unknown BatchPipeline mode {mode!r}")
         self.mode = mode
         self.synth = synthesizer
@@ -103,11 +105,11 @@ class BatchPipeline:
         """Yield the epoch's work items: per-batch dicts (chunk == 1) or
         transfer()-combined groups of up to `chunk` batches."""
         if self.epoch_transfer is not None:
-            if self.mode not in ("index", "packed"):
+            if self.mode not in ("index", "packed", "device"):
                 raise ValueError(
-                    "BatchPipeline.epoch_transfer needs mode='index' or "
-                    "'packed' — only those batches are small enough to "
-                    "ship a whole epoch in one transfer")
+                    "BatchPipeline.epoch_transfer needs mode='index', "
+                    "'packed', or 'device' — only those batches are small "
+                    "enough to ship a whole epoch in one transfer")
             hosts = [self._make_host(p, rng) for p in plan]
             for payload, n in self.epoch_transfer(hosts):
                 yield (payload, n) if self.chunk > 1 else payload
@@ -149,6 +151,10 @@ class BatchPipeline:
             elif self.mode == "packed":
                 part = ds.make_packed_batch(pairs[sel, 1], rng,
                                             stage=self.stage)
+            elif self.mode == "device":
+                from .packed import make_device_batch
+                part = make_device_batch(ds, pairs[sel, 1], rng,
+                                         stage=self.stage)
             else:
                 part = ds.make_batch(pairs[sel, 1], self.synth, rng,
                                      stage=self.stage)

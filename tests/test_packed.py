@@ -385,8 +385,9 @@ def test_full_pipeline_gendered_rows(small_assets):
 
 def test_session_mode_resolution(tmp_path):
     """gt_in_step='auto' must resolve to 'full' for GT-input single-dataset
-    recipes, 'packed' for the detector-input mixed recipe, and explicit
-    modes must validate."""
+    recipes, 'device' for the detector-input mixed recipe (index-only
+    batches + in-step noise synthesis), and explicit modes must
+    validate."""
     import yaml
 
     from gator_tpu.cli.common import Session
@@ -417,8 +418,13 @@ def test_session_mode_resolution(tmp_path):
     sess = Session(cfg_with(["Human36M", "COCO", "MuCo"], False, "coco",
                             "auto"),
                    synthetic=True, synthetic_n=16, assets=assets_c)
-    assert sess.gt_in_step == "packed"
+    assert sess.gt_in_step == "device"
     assert len(sess.datasets) == 3
+    # explicit 'packed' (host-assembled 2D input) stays available
+    sess = Session(cfg_with(["Human36M", "COCO", "MuCo"], False, "coco",
+                            "packed"),
+                   synthetic=True, synthetic_n=16, assets=assets_c)
+    assert sess.gt_in_step == "packed"
     # explicit 'full' on the det mix must raise with a helpful pointer
     with pytest.raises(ValueError, match="packed"):
         Session(cfg_with(["Human36M", "COCO", "MuCo"], False, "coco",

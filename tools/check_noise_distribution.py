@@ -13,6 +13,12 @@ both forms and compares
   * the Kolmogorov-Smirnov distance between the error-radius
     distributions (conditioned on kept joints).
 
+Round 4 extends the gate three-way: the DEVICE synthesizer
+(`device_noise.synthesize_pose_device`, the gt_in_step="device" in-step
+form) is held to the same bars against the scalar oracle, so all three
+forms — scalar oracle, host batch, device — are pinned to one
+distribution in one artifact.
+
 Run:  python tools/check_noise_distribution.py [--n 100000] \
           [--out artifacts/noise_distribution.json]
 
@@ -102,34 +108,67 @@ def run(n: int, seed: int = 0):
         batch = noise.synthesize_pose_batch(poses, areas, rng_b)
         t_batch = time.time() - t0
 
+        t0 = time.time()
+        dev2 = np.asarray(_device_form(poses[..., :2], areas, seed))
+        t_dev = time.time() - t0
+        # the device form returns [B,17,2] with zeroed dead rows; rebuild
+        # the [B,17,3] validity the classifier expects
+        dead = np.abs(dev2).sum(-1, keepdims=True) <= 0
+        device = np.concatenate([dev2, (~dead).astype(np.float32)],
+                                axis=-1)
+
         st_s = np.stack([classify(scalar[i], poses[i], area)
                          for i in range(per_area)]).ravel()
         st_b = np.stack([classify(batch[i], poses[i], area)
                          for i in range(per_area)]).ravel()
+        st_d = np.stack([classify(device[i], poses[i], area)
+                         for i in range(per_area)]).ravel()
         freq_s = np.bincount(st_s, minlength=5) / len(st_s)
         freq_b = np.bincount(st_b, minlength=5) / len(st_b)
+        freq_d = np.bincount(st_d, minlength=5) / len(st_d)
 
         def radii(synth):
             kept = synth[..., 2] > 0
             d = np.linalg.norm(synth[..., :2] - poses[..., :2], axis=-1)
             return np.sort(d[kept])
 
-        r_s, r_b = radii(scalar), radii(batch)
-        grid = np.unique(np.concatenate([r_s, r_b]))
-        cdf_s = np.searchsorted(r_s, grid, side="right") / len(r_s)
-        cdf_b = np.searchsorted(r_b, grid, side="right") / len(r_b)
-        ks = float(np.abs(cdf_s - cdf_b).max())
+        def ks_dist(r_a, r_b):
+            grid = np.unique(np.concatenate([r_a, r_b]))
+            cdf_a = np.searchsorted(r_a, grid, side="right") / len(r_a)
+            cdf_b = np.searchsorted(r_b, grid, side="right") / len(r_b)
+            return float(np.abs(cdf_a - cdf_b).max())
+
+        r_s, r_b, r_d = radii(scalar), radii(batch), radii(device)
         results[f"area_{int(area)}"] = {
             "n_poses": per_area,
             "state_freq_scalar": [round(float(x), 5) for x in freq_s],
             "state_freq_batch": [round(float(x), 5) for x in freq_b],
+            "state_freq_device": [round(float(x), 5) for x in freq_d],
             "state_freq_max_abs_diff": round(
                 float(np.abs(freq_s - freq_b).max()), 5),
-            "radius_ks_distance": round(ks, 5),
+            "state_freq_max_abs_diff_device": round(
+                float(np.abs(freq_s - freq_d).max()), 5),
+            "radius_ks_distance": round(ks_dist(r_s, r_b), 5),
+            "radius_ks_distance_device": round(ks_dist(r_s, r_d), 5),
             "scalar_poses_per_sec": round(per_area / t_scalar, 1),
             "batch_poses_per_sec": round(per_area / t_batch, 1),
+            "device_poses_per_sec": round(per_area / t_dev, 1),
         }
     return results
+
+
+def _device_form(joints2, areas, seed):
+    """The in-step device synthesizer on the CPU backend (the tool is a
+    host-side statistical gate; the TPU bit-stream is the same threefry)."""
+    import jax
+
+    from gator_tpu.data.device_noise import synthesize_pose_device
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return jax.jit(synthesize_pose_device)(
+            jax.random.PRNGKey(seed), joints2.astype(np.float32),
+            areas.astype(np.float32))
 
 
 def main():
@@ -149,11 +188,15 @@ def main():
     ok = True
     for k, r in results.items():
         passed = (r["state_freq_max_abs_diff"] <= 0.01
-                  and r["radius_ks_distance"] <= ks_bound)
+                  and r["radius_ks_distance"] <= ks_bound
+                  and r["state_freq_max_abs_diff_device"] <= 0.01
+                  and r["radius_ks_distance_device"] <= ks_bound)
         ok &= passed
         print(f"{k}: freq_diff={r['state_freq_max_abs_diff']} "
-              f"ks={r['radius_ks_distance']} (bound {ks_bound:.4f}) "
-              f"{'OK' if passed else 'FAIL'}")
+              f"ks={r['radius_ks_distance']} "
+              f"dev_freq_diff={r['state_freq_max_abs_diff_device']} "
+              f"dev_ks={r['radius_ks_distance_device']} "
+              f"(bound {ks_bound:.4f}) {'OK' if passed else 'FAIL'}")
     payload = {"n_total": args.n, "ks_bound": round(float(ks_bound), 5),
                "passed": bool(ok), "areas": results}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
