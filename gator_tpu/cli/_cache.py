@@ -5,11 +5,12 @@ from __future__ import annotations
 import hashlib
 import os
 import platform
+from typing import Optional
 
 import jax
 
 
-def default_cache_dir() -> str:
+def default_cache_dir() -> Optional[str]:
     """Machine-keyed persistent cache location. XLA:CPU persists AOT
     MACHINE CODE: executing a cached entry compiled on a different host
     (or by a different XLA) can abort the whole process — cpu_aot_loader
@@ -17,7 +18,9 @@ def default_cache_dir() -> str:
     and proceeds. This sandbox demonstrably moves between host machines
     across sessions, so the directory is keyed by (arch, cpuinfo flags,
     jax version): a cache written elsewhere becomes invisible instead of
-    fatal."""
+    fatal. Returns None (caller disables the cache) when the machine
+    cannot be fingerprinted — a shared fallback dir would reinstate the
+    cross-host SIGILL hazard the keying exists to prevent."""
     try:
         flags = ""
         with open("/proc/cpuinfo") as f:
@@ -28,7 +31,7 @@ def default_cache_dir() -> str:
         key = f"{platform.machine()}:{flags}:{jax.__version__}"
         tag = hashlib.md5(key.encode()).hexdigest()[:10]
     except Exception:   # noqa: BLE001 — cache is an optimization only
-        tag = "default"
+        return None
     return f"/tmp/jax_cache_{tag}"
 
 
@@ -38,9 +41,10 @@ def enable_compile_cache():
     the TPU through a relay those cost minutes each. Idempotent;
     JAX_CACHE_DIR overrides the location."""
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR",
-                                         default_cache_dir()))
+        cache_dir = os.environ.get("JAX_CACHE_DIR", default_cache_dir())
+        if not cache_dir:
+            return   # unfingerprintable host: run uncached (see above)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:   # noqa: BLE001 — cache is an optimization only
         pass

@@ -199,14 +199,14 @@ class SmplPoseDataset:
         return smpl_pose_packed_rows(self, synth, indices)
 
     def make_packed_batch(self, indices: np.ndarray,
-                          rng: np.random.Generator,
-                          stage: str = "gator") -> Dict[str, np.ndarray]:
+                          rng: np.random.Generator) -> Dict[str, np.ndarray]:
         """Host batch for the packed pipeline: (row, flips, rots) plus the
         fully-assembled 2D input (det-noise/crop/flip/normalize — the
         exact host-path code). Requires `build_packed_tables` to have
-        attached this dataset's PackedView."""
+        attached this dataset's PackedView. Stage-agnostic (stage
+        differentiation happens in the step wrapper)."""
         from .packed import make_packed_batch
-        return make_packed_batch(self, indices, rng, stage)
+        return make_packed_batch(self, indices, rng)
 
     def make_index_batch(self, indices: np.ndarray,
                          rng: np.random.Generator,

@@ -142,9 +142,9 @@ class CocoDataset:
         from .packed import coco_packed_rows
         return coco_packed_rows(self, synth, indices)
 
-    def make_packed_batch(self, indices, rng, stage: str = "gator"):
+    def make_packed_batch(self, indices, rng):
         from .packed import make_packed_batch
-        return make_packed_batch(self, indices, rng, stage)
+        return make_packed_batch(self, indices, rng)
 
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,

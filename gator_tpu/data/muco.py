@@ -145,9 +145,9 @@ class MucoDataset:
         from .packed import muco_packed_rows
         return muco_packed_rows(self, synth, indices)
 
-    def make_packed_batch(self, indices, rng, stage: str = "gator"):
+    def make_packed_batch(self, indices, rng):
         from .packed import make_packed_batch
-        return make_packed_batch(self, indices, rng, stage)
+        return make_packed_batch(self, indices, rng)
 
     def make_batch(self, indices, synth: GtSynthesizer,
                    rng: np.random.Generator,

@@ -131,6 +131,7 @@ def build_packed_tables(datasets: Sequence, synth,
     GT synthesis does)."""
     cols: Dict[str, list] = {k: [] for k in _COLUMNS}
     offset = 0
+    areas = []
     for ds in datasets:
         if not hasattr(ds, "packed_rows"):
             raise ValueError(
@@ -147,13 +148,16 @@ def build_packed_tables(datasets: Sequence, synth,
             joint_img_input=np.concatenate(imgs).astype(np.float32),
             row_offset=offset,
             h36m_stats=getattr(ds, "_h36m_stats", None))
+        # OKS crop area is a pure function of the (epoch-invariant) input
+        # joints and THIS dataset's crop geometry — matching the host
+        # path, which calls crop_area with each dataset's own opts
+        areas.append(processing.crop_area_batch(
+            ds._packed.joint_img_input, ds.opts))
         offset += len(ds)
     table = PackedTable(**{k: np.concatenate(cols[k]) for k in _COLUMNS})
-    # device-input extras: the OKS crop area is a pure function of the
-    # (epoch-invariant) input joints, so it precomputes per row; rows
-    # inherit their dataset's h36m-noise eligibility and (shared) stats
-    table.crop_area = processing.crop_area_batch(
-        table.joint_img_input, datasets[0].opts)
+    # device-input extras: rows inherit their dataset's h36m-noise
+    # eligibility and (shared) stats
+    table.crop_area = np.concatenate(areas)
     noise_on, stats = [], None
     for ds in datasets:
         s = ds._packed.h36m_stats
@@ -169,13 +173,15 @@ def build_packed_tables(datasets: Sequence, synth,
     return table
 
 
-def make_packed_batch(ds, indices: np.ndarray, rng: np.random.Generator,
-                      stage: str = "gator") -> Dict[str, np.ndarray]:
+def make_packed_batch(ds, indices: np.ndarray,
+                      rng: np.random.Generator) -> Dict[str, np.ndarray]:
     """Host batch for the packed pipeline: global row ids, aug params, and
     the fully-assembled 2D input (`base.input_pose2d` — the same function,
     rng draw order, and noise machinery as the host `make_batch` path,
     so the input distribution is identical by construction). ~152 B per
-    sample at the COCO joint set."""
+    sample at the COCO joint set. Packed batches are stage-agnostic:
+    stage differentiation (which targets the loss consumes) happens in
+    the step wrapper (`with_packed_input_pipeline`)."""
     from .augment import augm_params_batch
 
     pk: PackedView = ds._packed
@@ -193,12 +199,13 @@ def make_packed_batch(ds, indices: np.ndarray, rng: np.random.Generator,
             "pose2d": pose2d}
 
 
-def make_device_batch(ds, indices: np.ndarray, rng: np.random.Generator,
-                      stage: str = "gator") -> Dict[str, np.ndarray]:
+def make_device_batch(ds, indices: np.ndarray,
+                      rng: np.random.Generator) -> Dict[str, np.ndarray]:
     """Host batch for the DEVICE-input packed pipeline (gt_in_step=
     "device"): global row ids + aug params only (~12 B/sample) — the 2D
     input, including detector-noise synthesis, assembles inside the step
-    (`with_packed_input_pipeline(device_input=True)`)."""
+    (`with_packed_input_pipeline(device_input=True)`). Stage-agnostic,
+    like `make_packed_batch`."""
     from .augment import augm_params_batch
 
     pk: PackedView = ds._packed

@@ -149,12 +149,10 @@ class BatchPipeline:
                 part = ds.make_index_batch(pairs[sel, 1], rng,
                                            stage=self.stage)
             elif self.mode == "packed":
-                part = ds.make_packed_batch(pairs[sel, 1], rng,
-                                            stage=self.stage)
+                part = ds.make_packed_batch(pairs[sel, 1], rng)
             elif self.mode == "device":
                 from .packed import make_device_batch
-                part = make_device_batch(ds, pairs[sel, 1], rng,
-                                         stage=self.stage)
+                part = make_device_batch(ds, pairs[sel, 1], rng)
             else:
                 part = ds.make_batch(pairs[sel, 1], self.synth, rng,
                                      stage=self.stage)

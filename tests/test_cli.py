@@ -86,6 +86,44 @@ def test_train_cli_convergence_small(tmp_path_factory, tmp_path):
     assert result["plateau_scheduler_state"]
 
 
+@pytest.mark.slow
+def test_two_stage_convergence_cli(tmp_path_factory, tmp_path):
+    """CPU-lane twin of `run_convergence_cli.py --two_stage` (the
+    production recipe structure, reference main/train.py:31-33 +
+    GAT.py:125-131): stage-1 GAT pretrain, then GATOR init from its best
+    checkpoint; the artifact must record both stages and the posenet
+    override."""
+    import importlib.util
+
+    import yaml
+
+    # tiny stage-1 (GAT) config derived from the smoke recipe
+    raw = yaml.safe_load(open(CFG))
+    raw["MODEL"] = {"name": "GAT", "input_shape": [384, 288]}
+    raw["TRAIN"].update({"end_epoch": 1, "print_freq": 100})
+    s1 = str(tmp_path / "gat.yml")
+    yaml.safe_dump(raw, open(s1, "w"))
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "run_convergence_cli.py")
+    spec_ = importlib.util.spec_from_file_location("conv_cli3", tool)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    exp = str(tmp_path_factory.mktemp("exp_two_stage"))
+    out = str(tmp_path / "two_stage.json")
+    mod.main(["--two_stage", "--stage1_cfg", s1, "--cfg", CFG,
+              "--stage1_epochs", "1", "--epochs", "2", "--n", "48",
+              "--exp_dir", exp, "--out", out])
+    result = json.load(open(out))
+    assert result["stage1"]["stage"] == "gat_pretrain"
+    assert len(result["stage1"]["eval_mpjpe_per_epoch"]) == 1
+    assert result["overrides"]["MODEL.posenet_pretrained"] is True
+    assert result["overrides"]["MODEL.posenet_path"].endswith("checkpoint")
+    assert len(result["eval_mpjpe_per_epoch"]) == 2
+    assert os.path.isdir(os.path.join(exp, "stage1", "checkpoint", "best"))
+    assert os.path.isdir(os.path.join(exp, "stage2", "checkpoint", "best"))
+
+
 def test_convergence_check_segments_at_edge_gate():
     """run_convergence_cli.check() must segment the train-loss assertion
     at the edge-loss gate: when the weight-20 edge term enters mid-run

@@ -267,8 +267,7 @@ def test_packed_gat_stage_matches_host(small_assets_coco, coco_setup):
         idx = np.arange(10)
         full = ds.make_batch(idx, synth, np.random.default_rng(3),
                              stage="gat")
-        pk = ds.make_packed_batch(idx, np.random.default_rng(3),
-                                  stage="gat")
+        pk = ds.make_packed_batch(idx, np.random.default_rng(3))
         pspy(TrainState.create(variables, tx),
              {k: jnp.asarray(v) for k, v in pk.items()}, key)
         name = type(ds).__name__

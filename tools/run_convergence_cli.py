@@ -9,6 +9,17 @@ Run on the TPU:
     python tools/run_convergence_cli.py [--epochs 12] [--n 2048] \
         [--out artifacts/convergence_tpu.json]
 
+TWO-STAGE mode (VERDICT r4 item 2 — the production recipe structure,
+reference main/train.py:31-33: GAT lifter pretrain, then GATOR loads it
+via MODEL.posenet_pretrained/path, lib/models/GAT.py:125-131):
+    python tools/run_convergence_cli.py --two_stage \
+        --stage1_cfg configs/gat_synthetic_convergence.yml \
+        --cfg configs/gator_synthetic_convergence.yml \
+        --out artifacts/convergence_two_stage.json
+
+`--set SECTION.key=value` derives a temp config from --cfg (e.g.
+`--set AUG.flip=true --set TRAIN.end_epoch=16` for aug/scale sweeps).
+
 The CPU test lane runs the same loop at tiny scale
 (tests/test_cli.py::test_train_cli_convergence_small).
 """
@@ -18,10 +29,39 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+
+def _parse_val(s: str):
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return s
+
+
+def derived_cfg(base_path: str, updates: dict) -> str:
+    """Write a temp YAML = base config + dotted-path updates
+    ({"MODEL.posenet_path": ...}); returns its path. The derived file is
+    what train_main loads, so the artifact records exactly what ran."""
+    import yaml
+    with open(base_path) as f:
+        raw = yaml.safe_load(f) or {}
+    for dotted, val in updates.items():
+        section, key = dotted.split(".", 1)
+        raw.setdefault(section, {})[key] = val
+    fd, path = tempfile.mkstemp(suffix=".yml", prefix="gator_cfg_")
+    with os.fdopen(fd, "w") as f:
+        yaml.safe_dump(raw, f)
+    return path
 
 
 def run(epochs: int, n: int, exp_dir: str, cfg_path: str, seed: int = 0):
@@ -107,6 +147,19 @@ def main(argv=None):
     ap.add_argument("--exp_dir", type=str, default=None)
     ap.add_argument("--out", type=str,
                     default="artifacts/convergence_tpu.json")
+    ap.add_argument("--set", action="append", default=[], dest="sets",
+                    metavar="SECTION.key=value",
+                    help="override config fields (repeatable)")
+    ap.add_argument("--two_stage", action="store_true",
+                    help="pretrain the GAT lifter (--stage1_cfg), then "
+                         "train --cfg with posenet_pretrained pointing at "
+                         "the stage-1 best checkpoint")
+    ap.add_argument("--stage1_cfg", type=str,
+                    default="configs/gat_synthetic_convergence.yml")
+    ap.add_argument("--stage1_epochs", type=int, default=8)
+    ap.add_argument("--baseline", type=str, default=None,
+                    help="existing single-stage artifact to compare "
+                         "best_joint_err_mm against (two-stage mode)")
     ap.add_argument("--recheck", type=str, default=None,
                     help="re-run the assertions on an EXISTING artifact "
                          "(no training) and rewrite its passed/failures")
@@ -126,15 +179,47 @@ def main(argv=None):
 
     exp_dir = args.exp_dir or os.path.join(
         "/tmp", f"gator_convergence_{int(time.time())}")
-    result = run(args.epochs, args.n, exp_dir, args.cfg)
-    fails = check(result, _edge_loss_start(args.cfg))
+    updates = dict(kv.split("=", 1) for kv in args.sets)
+    updates = {k: _parse_val(v) for k, v in updates.items()}
+
+    stage1 = None
+    if args.two_stage:
+        s1_dir = os.path.join(exp_dir, "stage1")
+        stage1 = run(args.stage1_epochs, args.n, s1_dir, args.stage1_cfg)
+        stage1["stage"] = "gat_pretrain"
+        updates["MODEL.posenet_pretrained"] = True
+        updates["MODEL.posenet_path"] = os.path.join(s1_dir, "checkpoint")
+
+    cfg_path = derived_cfg(args.cfg, updates) if updates else args.cfg
+    s2_dir = os.path.join(exp_dir, "stage2") if args.two_stage else exp_dir
+    result = run(args.epochs, args.n, s2_dir, cfg_path)
+    result["config"] = args.cfg
+    if updates:
+        result["overrides"] = {k: v for k, v in updates.items()}
+    fails = check(result, _edge_loss_start(cfg_path))
+    if stage1 is not None:
+        result["stage1"] = stage1
+        # the two-stage claim: pretrained init beats the scratch run
+        if args.baseline and os.path.exists(args.baseline):
+            with open(args.baseline) as f:
+                base = json.load(f)
+            result["scratch_best_joint_err_mm"] = base[
+                "best_joint_err_mm"]
+            result["beats_scratch"] = (result["best_joint_err_mm"]
+                                       < base["best_joint_err_mm"])
+            if not result["beats_scratch"]:
+                fails.append(
+                    f"two-stage best {result['best_joint_err_mm']:.1f} mm "
+                    f"did not beat scratch "
+                    f"{base['best_joint_err_mm']:.1f} mm")
     result["passed"] = not fails
     result["failures"] = fails
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items()
-                      if k not in ("train_loss_per_epoch",)}, indent=1))
+                      if k not in ("train_loss_per_epoch", "stage1")},
+                     indent=1))
     print(f"-> {args.out}")
     return 1 if fails else 0
 
