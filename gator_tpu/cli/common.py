@@ -251,6 +251,21 @@ class Session:
                              cfg.TRAIN.lr_factor, steps_per_epoch)
         return make_optimizer(cfg.TRAIN.optimizer, sched)
 
+    def _mesh_cache_on(self, n_rows: int) -> bool:
+        """Resolve cfg.TRAIN.gt_mesh_cache for a device-resident table of
+        n_rows: 'auto' enables the once-per-run GT-mesh precompute when
+        [N, V, 3] f32 fits a 2 GiB HBM budget (multi-epoch training then
+        pays one SMPL forward per row per RUN instead of per epoch)."""
+        req = self.cfg.TRAIN.gt_mesh_cache
+        if req not in ("auto", "on", "off"):
+            raise ValueError(
+                f"TRAIN.gt_mesh_cache must be 'auto', 'on', or 'off'; "
+                f"got {req!r}")
+        if req != "auto":
+            return req == "on"
+        v = self.spec.mdr.full_num if self.is_gator else 0
+        return bool(v) and n_rows * v * 3 * 4 <= 2 << 30
+
     def make_steps(self, tx):
         import jax as _jax
         import jax.numpy as _jnp
@@ -283,14 +298,17 @@ class Session:
                 ds = self.datasets[0]
                 train_step = with_device_input_pipeline(
                     train_step, self.synth, ds.table, ds.joint_set,
-                    ds.opts, ds.opts.fitting_thr)
+                    ds.opts, ds.opts.fitting_thr,
+                    mesh_cache=self._mesh_cache_on(len(ds)))
             elif getattr(self, "gt_in_step", "off") in ("packed", "device"):
                 from ..data.packed import with_packed_input_pipeline
+                table = self.packed_table()
                 train_step = with_packed_input_pipeline(
-                    train_step, self.packed_table(), self.synth,
+                    train_step, table, self.synth,
                     self.assets.joint_set, stage="gator",
                     opts=self.datasets[0].opts,
-                    device_input=self.gt_in_step == "device")
+                    device_input=self.gt_in_step == "device",
+                    mesh_cache=self._mesh_cache_on(len(table)))
             # accuracy-reporting surface: eval ALWAYS runs f32 (bf16 costs
             # a measured ~2.9 mm MPVPE; the <=0.1 mm parity target applies
             # here) — cfg.TRAIN.precision only affects the train step

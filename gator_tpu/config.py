@@ -82,6 +82,12 @@ class TrainConfig:
     # "auto": best supported fast path ("full", else "packed", else
     # "off").
     gt_in_step: str = "off"    # "auto"|"full"|"device"|"packed"|"on"|"off"
+    # device-resident GT-mesh cache for the full/packed/device fast paths:
+    # the mesh target is epoch-invariant per row, so it precomputes once
+    # per run ([N, V, 3] f32 in HBM) instead of re-running the SMPL
+    # forward every step of every epoch. "auto" = on when the table fits
+    # a 2 GiB budget (the flagship real-data mix is ~50 GB -> off).
+    gt_mesh_cache: str = "auto"      # "auto" | "on" | "off"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -69,16 +69,21 @@ def _annulus(key, centers, r_lo, r_hi, k, reject, reject_r):
 
 def _pick(key, pts, mask):
     """Uniform pick among each row's accepted candidates -> (pt [..., 2],
-    ok [...]) — same index arithmetic as the host `_pick_accepted`."""
-    cnt = mask.sum(-1)
-    u = jax.random.uniform(key, cnt.shape)
-    m = jnp.minimum((u * jnp.maximum(cnt, 1)).astype(jnp.int32),
-                    jnp.maximum(cnt - 1, 0))
-    csum = jnp.cumsum(mask, axis=-1)
-    sel = jnp.argmax(csum == (m + 1)[..., None], axis=-1)
+    ok [...]).
+
+    Realized as argmax of iid uniforms over the accepted set (a
+    "gumbel-style" pick): the argmax of iid U(0,1) restricted to the
+    accepted candidates is exactly uniform among them — the SAME law as
+    the host `_pick_accepted`'s index arithmetic, by a different draw.
+    Measured 17% faster than the cumsum+eq+argmax realization at B=512
+    (one [B,m,K] draw + one K-pass instead of two K-axis passes;
+    artifacts/noise_ablation.json), re-gated three-way against the
+    scalar oracle by tools/check_noise_distribution.py."""
+    u = jax.random.uniform(key, mask.shape)
+    sel = jnp.argmax(jnp.where(mask, u, -1.0), axis=-1)
     pt = jnp.take_along_axis(pts, sel[..., None, None],
                              axis=-2)[..., 0, :]
-    return pt, cnt > 0
+    return pt, mask.any(-1)
 
 
 def synthesize_pose_device(key: jax.Array, joints: jnp.ndarray,

@@ -191,19 +191,42 @@ def with_device_input_pipeline_gat(step_fn: Callable, table, jset,
     return step
 
 
+def precompute_rows(fn: Callable, n: int, chunk: int = 2048):
+    """Run `fn(rows) -> pytree of [chunk, ...]` over all n rows in
+    device-sized chunks (lax.map: ONE compile) and return the
+    concatenated [n, ...] pytree. The last chunk wraps around; the
+    duplicate rows are sliced off."""
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    idx = jnp.arange(n + pad) % n
+    out = jax.jit(lambda ix: jax.lax.map(fn, ix.reshape(-1, chunk)))(idx)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(n + pad, *a.shape[2:])[:n], out)
+
+
 def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
-                               opts, fitting_thr: float) -> Callable:
+                               opts, fitting_thr: float,
+                               mesh_cache: bool = False) -> Callable:
     """Wrap a stage-2 train step to run the WHOLE input pipeline on
     device from index-only batches (`SmplPoseDataset.make_index_batch`).
     The annotation table becomes jit constants (hoisted to HBM once,
-    replicated over the dp mesh by GSPMD)."""
+    replicated over the dp mesh by GSPMD).
+
+    mesh_cache=True: the GT mesh target and its fit-gate mask are
+    EPOCH-INVARIANT per row (augmentation touches only the 2D input and
+    the lift target — same as the host path, base.assemble_batch), so
+    they precompute ONCE PER RUN into a device-resident [N, V, 3] table
+    instead of re-running the SMPL forward every step of every epoch.
+    Same math, same order — the per-step cost becomes a gather. Costs
+    N*V*3*4 bytes of HBM; the session gates it by size
+    (cfg.TRAIN.gt_mesh_cache)."""
     tbl = _check_and_load_table(table, opts, need_smpl=True)
     perm = _flip_perm(jset.joint_num, jset.flip_pairs)
     input_shape = tuple(opts.input_shape)
 
-    def step(state, batch: Dict[str, jnp.ndarray], *extra):
-        idx = batch["idx"]
-        flips, rots = batch["flips"], batch["rots"]
+    def mesh_and_valid(idx):
+        """[B]-rows -> (mesh_rel [B, V, 3] meters, valid [B, 1, 1]) — the
+        row-invariant target half of the step."""
         jc = tbl["joint_cam"][idx]
         jh = jc - jc[:, :1]
         mesh_mm = _gendered_mesh_cam(
@@ -211,10 +234,27 @@ def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
             tbl["trans"][idx], tbl["cam_r"][idx], tbl["cam_t"][idx])
         fit = synth.fitting_error(jh, mesh_mm)
         valid = synth.fit_valid_mask(fit, fitting_thr)
+        return (((mesh_mm - jc[:, :1]) / 1000.0).astype(jnp.float32),
+                valid)
+
+    if mesh_cache:
+        n = int(np.asarray(table.pose).shape[0])
+        tbl["mesh_rel"], tbl["fit_valid"] = precompute_rows(
+            mesh_and_valid, n)
+
+    def step(state, batch: Dict[str, jnp.ndarray], *extra):
+        idx = batch["idx"]
+        flips, rots = batch["flips"], batch["rots"]
+        jc = tbl["joint_cam"][idx]
+        jh = jc - jc[:, :1]
+        if mesh_cache:
+            mesh, valid = tbl["mesh_rel"][idx], tbl["fit_valid"][idx]
+        else:
+            mesh, valid = mesh_and_valid(idx)
         inner = {
             "pose2d": crop_normalize_gt(tbl["joint_img"][idx], perm,
                                         input_shape, flips, rots),
-            "mesh": ((mesh_mm - jc[:, :1]) / 1000.0).astype(jnp.float32),
+            "mesh": mesh,
             "lift_pose3d": j3d_augment(jh, perm, flips, rots),
             "reg_pose3d": jh.astype(jnp.float32),
             "mesh_valid": valid,

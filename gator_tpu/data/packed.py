@@ -239,7 +239,8 @@ def gendered_smpl_verts(params_by_gender: Dict, genders_present,
 def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
                                synth, jset, stage: str = "gator",
                                input_shape=None, opts=None,
-                               device_input: bool = False) -> Callable:
+                               device_input: bool = False,
+                               mesh_cache: bool = False) -> Callable:
     """Wrap a train step to assemble all TARGETS on device from the packed
     table: gather rows, synthesize the GT mesh (per-present-gender SMPL),
     augment the lift target, and gather the precomputed fit-gate masks.
@@ -250,7 +251,15 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
     batch is index-only (row, flips, rots) and the 2D input — gather,
     in-step detector-noise synthesis (device_noise), crop/flip/normalize —
     assembles on device too; requires `opts` (the session ProcessOptions)
-    and, for noisy recipes, the table's crop_area/h36m columns."""
+    and, for noisy recipes, the table's crop_area/h36m columns.
+
+    mesh_cache=True (gator stage): the GT mesh target is EPOCH-INVARIANT
+    per row (mesh = fwd(pose_eff, shape_eff) + offset, no augmentation —
+    same as the host path), so it precomputes ONCE PER RUN into a
+    device-resident [N, V, 3] table instead of re-running the SMPL
+    forward every step of every epoch; the per-step cost becomes a
+    gather. Costs N*V*3*4 bytes of HBM — the session gates it by size
+    (cfg.TRAIN.gt_mesh_cache)."""
     if device_input:
         if opts is None:
             raise ValueError("device_input=True needs the session opts")
@@ -296,6 +305,19 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
     if len(genders) > 1:
         tbl["gender"] = jnp.asarray(table.gender, jnp.int32)
 
+    def mesh_rows(row):
+        """[B]-rows -> GT mesh target [B, V, 3] (meters, root-relative) —
+        the row-invariant SMPL half of the gator step."""
+        codes = tbl["gender"][row] if len(genders) > 1 else None
+        verts = gendered_smpl_verts(synth.params, genders, codes,
+                                    tbl["pose_eff"][row],
+                                    tbl["shape_eff"][row])
+        return (verts + tbl["offset_m"][row][:, None]).astype(jnp.float32)
+
+    if mesh_cache and stage == "gator":
+        from .device_pipeline import precompute_rows
+        tbl["mesh_m"] = precompute_rows(mesh_rows, len(table))
+
     def device_pose2d(state, row, flips, rots, rng):
         """In-step 2D input: gather -> affine crop -> detector noise
         (device_noise, keyed per optimizer step like dropout) -> flip +
@@ -332,11 +354,8 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
                 "joint_valid": tbl["gat_valid"][row][:, None, None],
             }
             return step_fn(state, inner, *extra)
-        codes = tbl["gender"][row] if len(genders) > 1 else None
-        verts = gendered_smpl_verts(synth.params, genders, codes,
-                                    tbl["pose_eff"][row],
-                                    tbl["shape_eff"][row])
-        mesh = (verts + tbl["offset_m"][row][:, None]).astype(jnp.float32)
+        mesh = (tbl["mesh_m"][row] if "mesh_m" in tbl
+                else mesh_rows(row))
         inner = {
             "pose2d": pose2d,
             "mesh": mesh,

@@ -539,6 +539,54 @@ def test_device_input_pipeline_matches_host(small_assets):
                                    rtol=0, atol=2.5e-3)
 
 
+def test_device_pipeline_mesh_cache_matches_in_step(small_assets):
+    """mesh_cache=True precomputes the (epoch-invariant) GT mesh + fit
+    mask once per run; the cached step must reproduce the in-step
+    synthesis exactly — same loss, same assembled targets."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gator_tpu import losses
+    from gator_tpu.data import processing
+    from gator_tpu.data.device_pipeline import with_device_input_pipeline
+    from gator_tpu.data.gt_synth import GtSynthesizer
+    from gator_tpu.data.synthetic import SyntheticDataset
+    from gator_tpu.models import GatorSpec, init_gator
+    from gator_tpu.train import TrainState
+    from gator_tpu.train.loop import make_gator_train_step
+
+    synth = GtSynthesizer(small_assets)
+    opts = processing.ProcessOptions(is_train=True, flip_enabled=True,
+                                     rotate_factor=30.0)
+    ds = SyntheticDataset(small_assets, opts, n=21, seed=0,   # odd n:
+                          synthesizer=synth)                  # wrap pad
+    spec = GatorSpec.from_assets(small_assets, embed_dim=64, depth=1)
+    tx = optax.adam(1e-3)
+    variables = init_gator(spec, jax.random.PRNGKey(0))
+    step = make_gator_train_step(
+        spec, small_assets.faces, small_assets.j_regressor_h36m,
+        losses.LossWeights(), tx)
+    plain = with_device_input_pipeline(step, synth, ds.table,
+                                       ds.joint_set, opts,
+                                       opts.fitting_thr)
+    cached = with_device_input_pipeline(step, synth, ds.table,
+                                        ds.joint_set, opts,
+                                        opts.fitting_thr, mesh_cache=True)
+    index = ds.make_index_batch(np.arange(12), np.random.default_rng(7))
+    key, edge = jax.random.PRNGKey(5), jnp.asarray(1.0)
+    s0 = TrainState.create(variables, tx)
+    s_a, m_a = jax.jit(plain)(s0, index, key, edge)
+    s_b, m_b = jax.jit(cached)(s0, index, key, edge)
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-6)
+    # same Adam first-step ulp-noise bound as the other equivalence tests
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
+
+
 def test_device_input_pipeline_gat_matches_host(small_assets):
     """Stage-1 version of the device pipeline: index batches + in-step
     target assembly must reproduce the host gat batch (flip/rot aug on)

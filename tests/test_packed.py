@@ -382,6 +382,47 @@ def test_full_pipeline_gendered_rows(small_assets):
                                   np.asarray(full["mesh_valid"]))
 
 
+def test_packed_mesh_cache_matches_in_step(small_assets_coco, coco_setup):
+    """mesh_cache=True (gendered mixed table, device-input mode): the
+    once-per-run mesh precompute must reproduce the in-step SMPL
+    synthesis exactly — same loss, same post-step params."""
+    import jax
+    import jax.numpy as jnp
+
+    from gator_tpu.data.packed import (make_device_batch,
+                                       with_packed_input_pipeline)
+    from gator_tpu.train import TrainState
+
+    synth, opts, dss, table = coco_setup
+    det_opts = processing.ProcessOptions(
+        is_train=True, use_gt_input=False, input_joint_name="coco",
+        flip_enabled=True, rotate_factor=30.0)
+    step, variables, tx = _gator_step(small_assets_coco)
+    plain = with_packed_input_pipeline(step, table, synth,
+                                       small_assets_coco.joint_set,
+                                       opts=det_opts, device_input=True)
+    cached = with_packed_input_pipeline(step, table, synth,
+                                        small_assets_coco.joint_set,
+                                        opts=det_opts, device_input=True,
+                                        mesh_cache=True)
+    pk = make_device_batch(dss[0], np.arange(10),
+                           np.random.default_rng(3))
+    pk = {k: jnp.asarray(v) for k, v in pk.items()}
+    key, edge = jax.random.PRNGKey(5), jnp.asarray(1.0)
+    s0 = TrainState.create(variables, tx)
+    s_a, m_a = jax.jit(plain)(s0, pk, key, edge)
+    s_b, m_b = jax.jit(cached)(s0, pk, key, edge)
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-6)
+    # chunked precompute vs in-step SMPL differ by reduction-tiling ulps;
+    # Adam's sqrt(v)+eps normalization amplifies those near zero grad —
+    # same first-step noise bound as the other equivalence tests
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.5e-3)
+
+
 def test_session_mode_resolution(tmp_path):
     """gt_in_step='auto' must resolve to 'full' for GT-input single-dataset
     recipes, 'device' for the detector-input mixed recipe (index-only

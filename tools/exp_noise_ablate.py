@@ -27,6 +27,14 @@ per-dispatch timing unreliable).
 Run on the TPU:  python tools/exp_noise_ablate.py \
                      [--out artifacts/noise_ablation.json]
 
+OUTCOME (round 5, artifacts/noise_ablation.json): cost is linear in B
+(no fixed overhead -> hoisting out of the K-step scan buys nothing);
+bf16 is SLOWER at B<=1024 (conversion overhead) and distribution-
+suspect; the gumbel-style pick is 17% faster and the SAME law — it
+SHIPPED as device_noise._pick (so "shipped_f32" now measures the gumbel
+form and the `gumbel_pick` variant coincides with it; `make_variant
+(gumbel_pick=False)` reproduces the legacy cumsum pick).
+
 Reference behavior being reproduced: lib/noise_utils.py:17-285 (see
 data/device_noise.py for the wave decomposition).
 """
