@@ -22,13 +22,24 @@ def default_cache_dir() -> Optional[str]:
     cannot be fingerprinted — a shared fallback dir would reinstate the
     cross-host SIGILL hazard the keying exists to prevent."""
     try:
-        flags = ""
+        # fingerprint = every stable identity line of cpu 0's cpuinfo
+        # block. Flags alone proved insufficient: two distinct hosts can
+        # share an identical flags line (same CPU family) while their
+        # LLVM-detected feature sets differ, and /tmp persists across
+        # this sandbox's host moves — model name/stepping/microcode
+        # disambiguate. Volatile lines (cpu MHz, bogomips) are excluded
+        # so the key survives reboots on the SAME host.
+        ident: list = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    flags = line.strip()
-                    break
-        key = f"{platform.machine()}:{flags}:{jax.__version__}"
+                if not line.strip():
+                    break          # end of cpu 0's block
+                if line.startswith(("model name", "model", "stepping",
+                                    "microcode", "cpu family", "vendor_id",
+                                    "flags", "Features", "CPU part",
+                                    "CPU variant", "CPU revision")):
+                    ident.append(line.strip())
+        key = f"{platform.machine()}:{';'.join(ident)}:{jax.__version__}"
         tag = hashlib.md5(key.encode()).hexdigest()[:10]
     except Exception:   # noqa: BLE001 — cache is an optimization only
         return None
