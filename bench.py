@@ -84,6 +84,14 @@ def _per_step(loop, *args, l_short=L_SHORT, l_long=L_LONG, repeats=2):
     return (t_long - t_short) / (l_long - l_short)
 
 
+def _jit_serving(fn):
+    """jit a serving fn with its weights as a runtime argument (constargs
+    contract) — closure-constant weights make the relay compile
+    pathological (gator_tpu/constargs.py)."""
+    jitted = jax.jit(fn.with_consts)
+    return lambda pose: jitted(fn.const_args, pose)
+
+
 def bench_kernel_parity(spec, variables):
     """On-chip numerics gate for the fused Pallas kernels (VERDICT r2 §2):
     one batch through the fused serving path vs the math-identical pure-XLA
@@ -97,11 +105,11 @@ def bench_kernel_parity(spec, variables):
     pose = jnp.asarray(
         np.random.default_rng(7).normal(size=(256, 17, 2)), jnp.float32)
     with jax.default_matmul_precision("highest"):
-        ref_mesh, _ = jax.jit(make_serving_fn(
+        ref_mesh, _ = _jit_serving(make_serving_fn(
             spec, variables, dtype=jnp.float32, use_fused=False))(pose)
-        fused_mesh, _ = jax.jit(make_serving_fn(
+        fused_mesh, _ = _jit_serving(make_serving_fn(
             spec, variables, dtype=jnp.float32))(pose)
-    bf16_mesh, _ = jax.jit(make_serving_fn(
+    bf16_mesh, _ = _jit_serving(make_serving_fn(
         spec, variables, dtype=jnp.bfloat16))(pose)
     d32 = float(jnp.max(jnp.abs(fused_mesh - ref_mesh)))
     d16 = float(jnp.max(jnp.abs(bf16_mesh.astype(jnp.float32) - ref_mesh)))
@@ -115,7 +123,12 @@ def bench_serving(spec, variables):
     from gator_tpu.serving import make_serving_fn
 
     serving_fn = make_serving_fn(spec, variables, dtype=jnp.bfloat16)
-    loop = jax.jit(lambda p, n: _loop_forward(serving_fn, p, n))
+    # weights threaded as a runtime arg (constargs contract), bound here
+    # so the timed call signature stays loop(pose, n)
+    raw, cargs = serving_fn.with_consts, serving_fn.const_args
+    jloop = jax.jit(lambda c, p, n: _loop_forward(
+        lambda q: raw(c, q), p, n))
+    loop = lambda p, n: jloop(cargs, p, n)
 
     pose = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, 17, 2)), jnp.float32)
@@ -273,7 +286,8 @@ def bench_serve_latency(spec, variables):
     (p50_b1_ms, p99_b1_ms, p50_b64_ms) over 40 requests each."""
     from gator_tpu.serving import make_serving_fn
 
-    fn = jax.jit(make_serving_fn(spec, variables, dtype=jnp.bfloat16))
+    fn = _jit_serving(make_serving_fn(spec, variables,
+                                      dtype=jnp.bfloat16))
     rng = np.random.default_rng(3)
 
     def percentiles(b, reps=40):

@@ -107,7 +107,11 @@ def run_serve(pose_path: str, joint_set: str = "coco",
             print(f"batch_size rounded up to {batch_size} "
                   f"(multiple of {mesh.size} devices)")
     else:
-        fn = jax.jit(make_serving_fn(spec, variables, dtype=dtype))
+        # weights as a runtime arg (constargs contract): closure-constant
+        # weights make relay compiles pathological
+        sfn = make_serving_fn(spec, variables, dtype=dtype)
+        jfn = jax.jit(sfn.with_consts)
+        fn = lambda pose: jfn(sfn.const_args, pose)  # noqa: E731
 
     meshes = np.empty((n, spec.mdr.full_num, 3), np.float32)
     joints3d = np.empty((n, spec.gat.num_joint, 3), np.float32)

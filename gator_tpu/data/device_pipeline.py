@@ -149,18 +149,23 @@ def _check_and_load_table(table, opts, need_smpl: bool):
     return tbl
 
 
-def _gendered_mesh_cam(synth, tbl, idx, pose, shape, trans, cam_r, cam_t):
-    """smpl_mesh_cam over every gender present in the table + per-row
-    select; compiles to exactly one forward for all-neutral tables."""
-    genders = tbl["_genders"]
+def _gendered_mesh_cam(consts, genders, idx, pose, shape, trans, cam_r,
+                       cam_t):
+    """mesh_cam over every gender present in the table + per-row select;
+    compiles to exactly one forward for all-neutral tables. `consts`
+    carries the SMPL tables as traced arguments (constargs contract);
+    `genders` is the static build-time gender set."""
+    from .gt_synth import mesh_cam_fn
+
     out = None
     for g in genders:
-        mesh_mm, _ = synth.smpl_mesh_cam(pose, shape, trans, cam_r, cam_t,
-                                         g)
+        mesh_mm, _ = mesh_cam_fn(consts["smpl"][g], consts["mean_b"][g],
+                                 pose, shape, trans, cam_r, cam_t)
         if out is None:
             out = mesh_mm
         else:
-            sel = (tbl["gender"][idx] == GENDERS.index(g))[:, None, None]
+            sel = (consts["tbl"]["gender"][idx]
+                   == GENDERS.index(g))[:, None, None]
             out = jnp.where(sel, mesh_mm, out)
     return out
 
@@ -171,35 +176,41 @@ def with_device_input_pipeline_gat(step_fn: Callable, table, jset,
     `with_device_input_pipeline`: no SMPL synthesis — the step assembles
     {pose2d, joint_cam, joint_valid} from the device-resident table
     (reference per-sample form: Human36M/dataset.py:409-419)."""
+    from ..constargs import bind_consts
+
     tbl = _check_and_load_table(table, opts, need_smpl=False)
     perm = _flip_perm(jset.joint_num, jset.flip_pairs)
     input_shape = tuple(opts.input_shape)
 
-    def step(state, batch: Dict[str, jnp.ndarray], *extra):
+    def raw_step(consts, state, batch: Dict[str, jnp.ndarray], *extra):
+        t = consts["tbl"]
         idx = batch["idx"]
         flips, rots = batch["flips"], batch["rots"]
-        jc = tbl["joint_cam"][idx]
+        jc = t["joint_cam"][idx]
         jh = jc - jc[:, :1]
         inner = {
-            "pose2d": crop_normalize_gt(tbl["joint_img"][idx], perm,
+            "pose2d": crop_normalize_gt(t["joint_img"][idx], perm,
                                         input_shape, flips, rots),
             "joint_cam": j3d_augment(jh, perm, flips, rots),
             "joint_valid": jnp.ones((idx.shape[0], 1, 1), jnp.float32),
         }
         return step_fn(state, inner, *extra)
 
-    return step
+    return bind_consts(raw_step, {"tbl": tbl})
 
 
-def precompute_rows(fn: Callable, n: int, chunk: int = 2048):
-    """Run `fn(rows) -> pytree of [chunk, ...]` over all n rows in
-    device-sized chunks (lax.map: ONE compile) and return the
+def precompute_rows(fn: Callable, consts, n: int, chunk: int = 2048):
+    """Run `fn(consts, rows) -> pytree of [chunk, ...]` over all n rows
+    in device-sized chunks (lax.map: ONE compile) and return the
     concatenated [n, ...] pytree. The last chunk wraps around; the
-    duplicate rows are sliced off."""
+    duplicate rows are sliced off. `consts` (the tables `fn` reads) is a
+    runtime argument — see constargs: closure constants at table size
+    make the relay compile pathological."""
     chunk = min(chunk, n)
     pad = (-n) % chunk
     idx = jnp.arange(n + pad) % n
-    out = jax.jit(lambda ix: jax.lax.map(fn, ix.reshape(-1, chunk)))(idx)
+    out = jax.jit(lambda c, ix: jax.lax.map(
+        lambda i: fn(c, i), ix.reshape(-1, chunk)))(consts, idx)
     return jax.tree_util.tree_map(
         lambda a: a.reshape(n + pad, *a.shape[2:])[:n], out)
 
@@ -220,39 +231,51 @@ def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
     Same math, same order — the per-step cost becomes a gather. Costs
     N*V*3*4 bytes of HBM; the session gates it by size
     (cfg.TRAIN.gt_mesh_cache)."""
+    from .gt_synth import fit_valid_mask_fn, fitting_error_fn
+    from ..constargs import bind_consts
+
     tbl = _check_and_load_table(table, opts, need_smpl=True)
+    genders = tbl.pop("_genders")
     perm = _flip_perm(jset.joint_num, jset.flip_pairs)
     input_shape = tuple(opts.input_shape)
+    consts = {
+        "tbl": tbl,
+        "smpl": {g: synth.params[g] for g in genders},
+        "mean_b": {g: synth.mean_betas[g] for g in genders},
+        "j_reg_h36m": synth.j_reg_h36m,
+    }
 
-    def mesh_and_valid(idx):
+    def mesh_and_valid(c, idx):
         """[B]-rows -> (mesh_rel [B, V, 3] meters, valid [B, 1, 1]) — the
         row-invariant target half of the step."""
-        jc = tbl["joint_cam"][idx]
+        t = c["tbl"]
+        jc = t["joint_cam"][idx]
         jh = jc - jc[:, :1]
         mesh_mm = _gendered_mesh_cam(
-            synth, tbl, idx, tbl["pose"][idx], tbl["shape"][idx],
-            tbl["trans"][idx], tbl["cam_r"][idx], tbl["cam_t"][idx])
-        fit = synth.fitting_error(jh, mesh_mm)
-        valid = synth.fit_valid_mask(fit, fitting_thr)
+            c, genders, idx, t["pose"][idx], t["shape"][idx],
+            t["trans"][idx], t["cam_r"][idx], t["cam_t"][idx])
+        fit = fitting_error_fn(c["j_reg_h36m"], jh, mesh_mm)
+        valid = fit_valid_mask_fn(fit, fitting_thr)
         return (((mesh_mm - jc[:, :1]) / 1000.0).astype(jnp.float32),
                 valid)
 
     if mesh_cache:
         n = int(np.asarray(table.pose).shape[0])
         tbl["mesh_rel"], tbl["fit_valid"] = precompute_rows(
-            mesh_and_valid, n)
+            mesh_and_valid, consts, n)
 
-    def step(state, batch: Dict[str, jnp.ndarray], *extra):
+    def raw_step(c, state, batch: Dict[str, jnp.ndarray], *extra):
+        t = c["tbl"]
         idx = batch["idx"]
         flips, rots = batch["flips"], batch["rots"]
-        jc = tbl["joint_cam"][idx]
+        jc = t["joint_cam"][idx]
         jh = jc - jc[:, :1]
         if mesh_cache:
-            mesh, valid = tbl["mesh_rel"][idx], tbl["fit_valid"][idx]
+            mesh, valid = t["mesh_rel"][idx], t["fit_valid"][idx]
         else:
-            mesh, valid = mesh_and_valid(idx)
+            mesh, valid = mesh_and_valid(c, idx)
         inner = {
-            "pose2d": crop_normalize_gt(tbl["joint_img"][idx], perm,
+            "pose2d": crop_normalize_gt(t["joint_img"][idx], perm,
                                         input_shape, flips, rots),
             "mesh": mesh,
             "lift_pose3d": j3d_augment(jh, perm, flips, rots),
@@ -263,4 +286,4 @@ def with_device_input_pipeline(step_fn: Callable, synth, table, jset,
         }
         return step_fn(state, inner, *extra)
 
-    return step
+    return bind_consts(raw_step, consts)

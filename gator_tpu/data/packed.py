@@ -53,6 +53,7 @@ from . import processing
 from .base import input_pose2d
 from .device_pipeline import (_flip_perm, affine_crop, flip_standardize,
                               j3d_augment)
+from .gt_synth import prep_shape_fn
 
 GENDER_CODES = {"neutral": 0, "female": 1, "male": 2}
 
@@ -305,24 +306,35 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
     if len(genders) > 1:
         tbl["gender"] = jnp.asarray(table.gender, jnp.int32)
 
-    def mesh_rows(row):
+    # constargs contract: the table, SMPL params, and (optionally) the
+    # GT-mesh cache ride as a replicated runtime ARGUMENT of the jitted
+    # step — closure constants at these sizes (10 MB–2 GB) make the relay
+    # compile pathological (see gator_tpu/constargs.py)
+    consts = {
+        "tbl": tbl,
+        "smpl": {g: synth.params[g] for g in genders},
+    }
+
+    def mesh_rows(c, row):
         """[B]-rows -> GT mesh target [B, V, 3] (meters, root-relative) —
         the row-invariant SMPL half of the gator step."""
-        codes = tbl["gender"][row] if len(genders) > 1 else None
-        verts = gendered_smpl_verts(synth.params, genders, codes,
-                                    tbl["pose_eff"][row],
-                                    tbl["shape_eff"][row])
-        return (verts + tbl["offset_m"][row][:, None]).astype(jnp.float32)
+        t = c["tbl"]
+        codes = t["gender"][row] if len(genders) > 1 else None
+        verts = gendered_smpl_verts(c["smpl"], genders, codes,
+                                    t["pose_eff"][row],
+                                    t["shape_eff"][row])
+        return (verts + t["offset_m"][row][:, None]).astype(jnp.float32)
 
     if mesh_cache and stage == "gator":
         from .device_pipeline import precompute_rows
-        tbl["mesh_m"] = precompute_rows(mesh_rows, len(table))
+        tbl["mesh_m"] = precompute_rows(mesh_rows, consts, len(table))
 
-    def device_pose2d(state, row, flips, rots, rng):
+    def device_pose2d(c, state, row, flips, rots, rng):
         """In-step 2D input: gather -> affine crop -> detector noise
         (device_noise, keyed per optimizer step like dropout) -> flip +
         standardize. Host-path order: processing.batch_crop_and_normalize."""
-        out = affine_crop(tbl["joint_img_input"][row], input_shape, rots)
+        t = c["tbl"]
+        out = affine_crop(t["joint_img_input"][row], input_shape, rots)
         if want_coco_noise or want_h36m_noise:
             from .device_noise import (h36m_syn_error_device,
                                        synthesize_pose_device)
@@ -332,42 +344,44 @@ def with_packed_input_pipeline(step_fn: Callable, table: PackedTable,
                 # noise on the 17 coco keypoints in crop space; extra
                 # pelvis/neck rows pass through untouched
                 synth2d = synthesize_pose_device(nk, out[:, :17],
-                                                 tbl["crop_area"][row])
+                                                 t["crop_area"][row])
                 out = out.at[:, :17].set(synth2d)
             else:
                 noise = h36m_syn_error_device(
-                    nk, tbl["h36m_stats"], row.shape[0], input_shape)
-                out = out + noise * tbl["h36m_noise_on"][row][:, None,
-                                                              None]
+                    nk, t["h36m_stats"], row.shape[0], input_shape)
+                out = out + noise * t["h36m_noise_on"][row][:, None,
+                                                            None]
         return flip_standardize(out, perm, input_shape, flips)
 
-    def step(state, batch: Dict[str, jnp.ndarray], *extra):
+    def raw_step(c, state, batch: Dict[str, jnp.ndarray], *extra):
+        t = c["tbl"]
         row = batch["row"]
         flips, rots = batch["flips"], batch["rots"]
-        pose2d = (device_pose2d(state, row, flips, rots, extra[0])
+        pose2d = (device_pose2d(c, state, row, flips, rots, extra[0])
                   if device_input else batch["pose2d"])
-        lift = j3d_augment(tbl["joint_cam_input"][row], perm, flips, rots)
+        lift = j3d_augment(t["joint_cam_input"][row], perm, flips, rots)
         if stage != "gator":
             inner = {
                 "pose2d": pose2d,
                 "joint_cam": lift,
-                "joint_valid": tbl["gat_valid"][row][:, None, None],
+                "joint_valid": t["gat_valid"][row][:, None, None],
             }
             return step_fn(state, inner, *extra)
-        mesh = (tbl["mesh_m"][row] if "mesh_m" in tbl
-                else mesh_rows(row))
+        mesh = (t["mesh_m"][row] if "mesh_m" in t
+                else mesh_rows(c, row))
         inner = {
             "pose2d": pose2d,
             "mesh": mesh,
             "lift_pose3d": lift,
-            "reg_pose3d": tbl["reg_pose"][row],
-            "mesh_valid": tbl["mesh_valid"][row][:, None, None],
-            "reg_valid": tbl["reg_valid"][row][:, None, None],
-            "lift_valid": tbl["lift_valid"][row][:, None, None],
+            "reg_pose3d": t["reg_pose"][row],
+            "mesh_valid": t["mesh_valid"][row][:, None, None],
+            "reg_valid": t["reg_valid"][row][:, None, None],
+            "lift_valid": t["lift_valid"][row][:, None, None],
         }
         return step_fn(state, inner, *extra)
 
-    return step
+    from ..constargs import bind_consts
+    return bind_consts(raw_step, consts)
 
 
 # -- per-dataset packed_rows hooks (installed onto the dataset classes by
@@ -441,7 +455,8 @@ def coco_packed_rows(ds, synth, indices) -> Dict[str, np.ndarray]:
     # untouched and only the beta cleaning folds into shape_eff
     mesh_mm, _ = synth.smpl_mesh_plain(pose, shape, "neutral", True)
     pe = pose.astype(np.float32)
-    se = np.asarray(synth._prep_shape(jnp.asarray(shape), "neutral", True))
+    se = np.asarray(prep_shape_fn(jnp.asarray(shape),
+                                  synth.mean_betas["neutral"], True))
     coco_cam, coco_img = synth.coco_weak_perspective(
         mesh_mm, t.cam_s[idx], t.cam_t[idx])
     coco_cam, coco_img = np.asarray(coco_cam), np.asarray(coco_img)
@@ -480,8 +495,8 @@ def muco_packed_rows(ds, synth, indices) -> Dict[str, np.ndarray]:
 
     # shape cleaning is folded (smpl_mesh_direct clean=True); translation
     # rides in-layer -> trans_off = trans
-    shape_eff = np.asarray(synth._prep_shape(
-        jnp.asarray(t.shape[idx]), "neutral", True))
+    shape_eff = np.asarray(prep_shape_fn(
+        jnp.asarray(t.shape[idx]), synth.mean_betas["neutral"], True))
     if ds.opts.input_joint_name == "coco":
         cam_in = (coco_cam - coco_cam[:, -2:-1]).astype(np.float32)
         img_in = coco_img[..., :2].astype(np.float32)
@@ -516,8 +531,8 @@ def amass_packed_rows(ds, synth, indices) -> Dict[str, np.ndarray]:
         t.pose[idx], t.shape[idx], t.cam_r[idx], cam_t)
     pose_eff = np.asarray(jax.jit(rotate_root_pose)(
         jnp.asarray(t.pose[idx]), jnp.asarray(t.cam_r[idx])))
-    shape_eff = np.asarray(synth._prep_shape(
-        jnp.asarray(t.shape[idx]), "neutral", False))
+    shape_eff = np.asarray(prep_shape_fn(
+        jnp.asarray(t.shape[idx]), synth.mean_betas["neutral"], False))
     focal = np.tile(FOCAL, (n, 1))
     princpt = np.tile(PRINCPT, (n, 1))
     coco_cam, coco_img = synth.coco_from_mesh(mesh_mm, focal, princpt)

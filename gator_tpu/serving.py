@@ -191,21 +191,28 @@ def make_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
             "alpha=False MDR uses BatchNorm1d: variables must carry the "
             "batch_stats collection with its 'bias_norm' running stats")
 
-    def fn(pose2d):
+    # constargs contract: the weights ride as a runtime argument of the
+    # jitted program, not closure constants — large literals make the
+    # relay compile pathological (gator_tpu/constargs.py). jit sites use
+    # `fn.with_consts` / `fn.const_args`; `fn(pose2d)` stays callable.
+    consts = {"gat": gat_params, "mdr": mdr_params, "bn": batch_stats}
+
+    def raw_fn(c, pose2d):
         b = pose2d.shape[0]
         pose2d = pose2d.reshape(b, spec.gat.num_joint, 2).astype(dtype)
-        pose3d_flat, feat = gat_serving_forward(spec.gat, gat_params,
+        pose3d_flat, feat = gat_serving_forward(spec.gat, c["gat"],
                                                 pose2d, dtype=dtype,
                                                 use_fused=use_fused)
         pose3d = pose3d_flat.reshape(b, spec.gat.num_joint, 3)
         pose_combine = jnp.concatenate(
             [pose2d, pose3d / 1000.0, feat], axis=2)
-        mesh = mdr_serving_forward(spec.mdr, mdr_params, batch_stats,
+        mesh = mdr_serving_forward(spec.mdr, c["mdr"], c["bn"],
                                    pose_combine, dtype=dtype,
                                    use_fused=use_fused)
         return mesh, pose3d
 
-    return fn
+    from .constargs import bind_consts
+    return bind_consts(raw_fn, consts)
 
 
 def make_sharded_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
@@ -224,8 +231,14 @@ def make_sharded_serving_fn(spec: GatorSpec, variables: Dict[str, Any],
     fn = make_serving_fn(spec, variables, dtype=dtype,
                          cast_weights=cast_weights)
     # shard the batch over EVERY mesh axis (a multi-slice ("dcn", "dp")
-    # mesh is pure data parallelism here too)
+    # mesh is pure data parallelism here too); the weights (constargs
+    # contract) are a replicated runtime argument
     axes = tuple(mesh.axis_names)
-    sfn = jax.shard_map(fn, mesh=mesh, in_specs=P(axes),
+    sfn = jax.shard_map(fn.with_consts, mesh=mesh, in_specs=(P(), P(axes)),
                         out_specs=(P(axes), P(axes)), check_vma=False)
-    return jax.jit(sfn)
+    jitted = jax.jit(sfn)
+
+    def serve(pose2d):
+        return jitted(fn.const_args, pose2d)
+
+    return serve

@@ -265,24 +265,35 @@ def with_gt_synthesis(step_fn: Callable, synth, fitting_thr: float,
     sample, no device array ever sits in the prefetch queue, and a
     multi-step scan (make_multi_step) amortizes the per-dispatch overhead
     over the synthesis too."""
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray], *extra):
-        mesh_mm, _ = synth.smpl_mesh_cam(
+    from ..constargs import bind_consts
+    from ..data.gt_synth import (fit_valid_mask_fn, fitting_error_fn,
+                                 mesh_cam_fn)
+
+    consts = {"smpl": synth.params[gender],
+              "mean_b": synth.mean_betas[gender],
+              "j_reg_h36m": synth.j_reg_h36m}
+
+    def raw_step(c, state: TrainState, batch: Dict[str, jnp.ndarray],
+                 *extra):
+        mesh_mm, _ = mesh_cam_fn(
+            c["smpl"], c["mean_b"],
             batch["smpl_pose"], batch["smpl_shape"], batch["smpl_trans"],
-            batch["cam_r"], batch["cam_t"], gender)
+            batch["cam_r"], batch["cam_t"])
         inner = {k: v for k, v in batch.items()
                  if k not in _RAW_BATCH_KEYS}
         inner["mesh"] = ((mesh_mm - batch["mesh_root_mm"])
                          / 1000.0).astype(jnp.float32)
         # the fit-gate target IS reg_pose3d (root-relative h36m joints,
         # un-augmented on this path — make_raw_batch drops the duplicate)
-        fit = synth.fitting_error(batch["reg_pose3d"], mesh_mm)
-        inner["mesh_valid"] = synth.fit_valid_mask(fit, fitting_thr)
+        fit = fitting_error_fn(c["j_reg_h36m"], batch["reg_pose3d"],
+                               mesh_mm)
+        inner["mesh_valid"] = fit_valid_mask_fn(fit, fitting_thr)
         ones = jnp.ones_like(inner["mesh_valid"])
         inner["lift_valid"] = ones
         inner["reg_valid"] = ones
         return step_fn(state, inner, *extra)
 
-    return step
+    return bind_consts(raw_step, consts)
 
 
 def make_multi_step(step_fn: Callable) -> Callable:
@@ -299,7 +310,13 @@ def make_multi_step(step_fn: Callable) -> Callable:
     keys to K separate dispatches (the reference's loop granularity,
     lib/core/base.py:122-183, is reproduced exactly — equivalence is
     test-pinned).
+
+    A step carrying device-resident tables (constargs contract) keeps
+    them as a runtime argument of the scanned program: the tables are
+    loop-invariant, so XLA hoists the gathers' operand once.
     """
+    raw = getattr(step_fn, "with_consts", None)
+
     def multi(state: TrainState, superbatch, *extra):
         def body(st, b):
             st, m = step_fn(st, b, *extra)
@@ -308,7 +325,20 @@ def make_multi_step(step_fn: Callable) -> Callable:
         return state, jax.tree_util.tree_map(
             lambda x: jnp.mean(x, axis=0), ms)
 
-    return multi
+    if raw is None:
+        return multi
+
+    from ..constargs import bind_consts
+
+    def raw_multi(consts, state: TrainState, superbatch, *extra):
+        def body(st, b):
+            st, m = raw(consts, st, b, *extra)
+            return st, m
+        state, ms = jax.lax.scan(body, state, superbatch)
+        return state, jax.tree_util.tree_map(
+            lambda x: jnp.mean(x, axis=0), ms)
+
+    return bind_consts(raw_multi, step_fn.const_args)
 
 
 def jit_data_parallel(step_fn: Callable, mesh,
@@ -318,26 +348,38 @@ def jit_data_parallel(step_fn: Callable, mesh,
     """jit a step over a dp mesh: state (arg 0) replicated, the next
     n_array_args args batch-sharded (or `batch_spec`-sharded — pass
     `parallel.superbatch_sharding(mesh)` for a multi-step [K, B, ...]
-    batch), everything after replicated."""
+    batch), everything after replicated.
+
+    Steps carrying device-resident tables (constargs contract: a
+    `.with_consts(consts, state, batch, ...)` raw form) are jitted in
+    that raw form with the const pytree as a REPLICATED leading runtime
+    argument — embedding multi-MB tables as closure constants makes the
+    relay compile pathological (measured ~100x; see gator_tpu/constargs)."""
     rep = pmesh.replicated(mesh)
     bsh = batch_spec if batch_spec is not None \
         else pmesh.batch_sharding(mesh)
+    raw = getattr(step_fn, "with_consts", None)
+    n_const_args = 0 if raw is None else 1
+    fn = step_fn if raw is None else raw
 
-    def specs_for(args):
-        out = [rep]
-        out += [bsh] * n_array_args
-        out += [rep] * (len(args) - 1 - n_array_args)
+    def specs_for(n_args):
+        out = [rep] * n_const_args          # const tables: replicated
+        out += [rep]                        # state: replicated
+        out += [bsh] * n_array_args         # batch: dp-sharded
+        out += [rep] * (n_args - len(out))  # trailing extras: replicated
         return tuple(out)
 
     @functools.wraps(step_fn)
     def wrapped(*args):
+        if raw is not None:
+            return _get_jitted(1 + len(args))(step_fn.const_args, *args)
         return _get_jitted(len(args))(*args)
 
     @functools.lru_cache(maxsize=4)
     def _get_jitted(n_args):
-        in_sh = specs_for(range(n_args))
+        in_sh = specs_for(n_args)
         return jax.jit(
-            step_fn, in_shardings=in_sh,
-            donate_argnums=(0,) if donate_state else ())
+            fn, in_shardings=in_sh,
+            donate_argnums=(n_const_args,) if donate_state else ())
 
     return wrapped

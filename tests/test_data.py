@@ -521,8 +521,11 @@ def test_device_input_pipeline_matches_host(small_assets):
     # eager pass captures the assembled inner batch as concrete arrays
     spy_step(s0, {k: jnp.asarray(v) for k, v in index.items()}, key, edge)
     s_dev, m_dev = jax.jit(dstep)(s0, index, key, edge)
+    # mesh atol: ~1 ulp of fusion reordering at mesh scale; 2e-6 (was
+    # 1e-6) since the SMPL tables became traced jit ARGUMENTS instead of
+    # baked constants (constargs contract), which shifts XLA's folding
     for k, atol in (("pose2d", 5e-6), ("lift_pose3d", 2e-3),
-                    ("reg_pose3d", 2e-3), ("mesh", 1e-6),
+                    ("reg_pose3d", 2e-3), ("mesh", 2e-6),
                     ("mesh_valid", 0.0)):
         np.testing.assert_allclose(
             np.asarray(seen[k]), np.asarray(host[k], np.float32),
